@@ -1,0 +1,153 @@
+"""RIFF WAVE (and RF64) reading/writing.
+
+The analog of the reference's WAV paths: input parsing
+(src/flac/encode.c:195 get_sample_info_wave, including RF64 'ds64' handling)
+and output writing (src/flac/decode.c write_headers). PCM integer formats
+only (8-bit unsigned, 12/16/20/24/32-bit signed little-endian), standard and
+WAVE_FORMAT_EXTENSIBLE fmt chunks.
+
+Returns samples as an int32 [nsamples, channels] array in FLAC's canonical
+signed representation (8-bit WAV is unsigned and is re-centered by -128, as
+the reference does in format_input_, encode.c).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+WAVE_FORMAT_PCM = 1
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+@dataclass
+class AudioBuffer:
+    """Canonical in-memory PCM: int32 samples [n, channels], plus stream params."""
+
+    samples: np.ndarray  # int32 [nsamples, channels]
+    sample_rate: int
+    bits_per_sample: int
+    # foreign chunks for --keep-foreign-metadata (chunk id -> raw bytes, in order)
+    foreign_chunks: list[tuple[bytes, bytes]] = field(default_factory=list)
+
+    @property
+    def nsamples(self) -> int:
+        return self.samples.shape[0]
+
+    @property
+    def channels(self) -> int:
+        return self.samples.shape[1]
+
+
+def _decode_pcm(raw: bytes, bits: int, channels: int) -> np.ndarray:
+    bytes_per = (bits + 7) // 8
+    n = len(raw) // (bytes_per * channels)
+    raw = raw[: n * bytes_per * channels]
+    if bytes_per == 1:
+        # 8-bit WAV is unsigned; recenter to signed (reference encode.c format_input_)
+        data = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+    elif bytes_per == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    elif bytes_per == 3:
+        u = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.uint32)
+        v = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+        data = v.astype(np.int32)
+        data = np.where(data >= 1 << 23, data - (1 << 24), data)
+    elif bytes_per == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.int32)
+    else:
+        raise ValueError(f"unsupported WAV sample width {bits}")
+    if bits not in (8, 16, 24, 32) and bits % 8 != 0:
+        # e.g. 12- or 20-bit samples stored right-justified in 2/3 bytes
+        data = data >> (bytes_per * 8 - bits)
+    return data.reshape(-1, channels)
+
+
+def read_wav(path: str) -> AudioBuffer:
+    with open(path, "rb") as f:
+        data = f.read()
+    return parse_wav(data)
+
+
+def parse_wav(data: bytes) -> AudioBuffer:
+    if data[:4] not in (b"RIFF", b"RF64"):
+        raise ValueError("not a RIFF/RF64 file")
+    is_rf64 = data[:4] == b"RF64"
+    if data[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    pos = 12
+    fmt = None
+    pcm = None
+    data_size_rf64 = None
+    foreign: list[tuple[bytes, bytes]] = []
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        csize = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + csize]
+        if cid == b"ds64" and is_rf64:
+            # RF64 64-bit size chunk (reference encode.c RF64 support)
+            _riff_size, data_size_rf64, _ = struct.unpack_from("<QQQ", body, 0)[:3]
+        elif cid == b"fmt ":
+            tag, channels, rate, _brate, _align, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if tag == WAVE_FORMAT_EXTENSIBLE:
+                valid_bits = struct.unpack_from("<H", body, 18)[0]
+                sub_format = struct.unpack_from("<H", body, 24)[0]
+                if sub_format != WAVE_FORMAT_PCM:
+                    raise ValueError("only PCM WAVE_FORMAT_EXTENSIBLE is supported")
+                fmt = (channels, rate, bits, valid_bits or bits)
+            elif tag == WAVE_FORMAT_PCM:
+                fmt = (channels, rate, bits, bits)
+            else:
+                raise ValueError(f"unsupported WAVE format tag {tag}")
+        elif cid == b"data":
+            if is_rf64 and csize == 0xFFFFFFFF and data_size_rf64 is not None:
+                body = data[pos + 8 : pos + 8 + data_size_rf64]
+                csize = data_size_rf64
+            pcm = body
+        else:
+            foreign.append((cid, data[pos : pos + 8 + csize + (csize & 1)]))
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    channels, rate, container_bits, valid_bits = fmt
+    samples = _decode_pcm(pcm, container_bits, channels)
+    if valid_bits != container_bits and valid_bits < container_bits:
+        samples = samples >> (container_bits - valid_bits)
+    return AudioBuffer(samples=samples, sample_rate=rate, bits_per_sample=valid_bits,
+                       foreign_chunks=foreign)
+
+
+def write_wav(path: str, buf: AudioBuffer) -> None:
+    with open(path, "wb") as f:
+        f.write(wav_bytes(buf))
+
+
+def wav_bytes(buf: AudioBuffer) -> bytes:
+    bits = buf.bits_per_sample
+    bytes_per = (bits + 7) // 8
+    channels = buf.channels
+    flat = np.ascontiguousarray(buf.samples, dtype=np.int32).reshape(-1)
+    if bytes_per == 1:
+        pcm = (flat + 128).astype(np.uint8).tobytes()
+    elif bytes_per == 2:
+        pcm = flat.astype("<i2").tobytes()
+    elif bytes_per == 3:
+        le = flat.astype("<i4").view(np.uint8).reshape(-1, 4)
+        pcm = np.ascontiguousarray(le[:, :3]).tobytes()
+    elif bytes_per == 4:
+        pcm = flat.astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported bits per sample {bits}")
+    block_align = channels * bytes_per
+    byte_rate = buf.sample_rate * block_align
+    fmt = struct.pack("<HHIIHH", WAVE_FORMAT_PCM, channels, buf.sample_rate,
+                      byte_rate, block_align, bits)
+    out = bytearray()
+    out += b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(pcm)) + pcm
+    if len(pcm) & 1:
+        out += b"\x00"
+    return bytes(out)

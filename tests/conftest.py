@@ -1,0 +1,94 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so the multi-chip sharding paths
+(jax.sharding.Mesh over 8 devices) are exercised without TPU hardware, per
+the single-host multi-device simulation strategy (SURVEY.md §4).
+"""
+
+import os
+import subprocess
+from pathlib import Path
+
+# Must be set before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+ORACLE_SCRIPT = REPO_ROOT / "tools" / "build_reference_oracle.sh"
+
+
+def _build_oracle() -> Path | None:
+    """Build (or locate) the reference `flac` binary used as differential oracle."""
+    out = Path(os.environ.get("ORACLE_DIR", "/tmp/flacoracle"))
+    if (out / "flac").exists():
+        return out / "flac"
+    try:
+        r = subprocess.run(["bash", str(ORACLE_SCRIPT)], capture_output=True, text=True,
+                           timeout=300)
+        if r.returncode == 0:
+            return Path(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        pass
+    return None
+
+
+_ORACLE = None
+_ORACLE_TRIED = False
+
+
+def oracle_path() -> Path | None:
+    global _ORACLE, _ORACLE_TRIED
+    if not _ORACLE_TRIED:
+        _ORACLE = _build_oracle()
+        _ORACLE_TRIED = True
+    return _ORACLE
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    """Path to the reference flac binary; skips the test when unavailable."""
+    p = oracle_path()
+    if p is None:
+        pytest.skip("reference flac oracle not available")
+    return p
+
+
+@pytest.fixture(scope="session")
+def metaflac_oracle():
+    p = oracle_path()
+    mf = p.parent / "metaflac" if p else None
+    if mf is None or not mf.exists():
+        pytest.skip("reference metaflac oracle not available")
+    return mf
+
+
+def make_signal(n: int, channels: int, bps: int, seed: int = 0, kind: str = "sine") -> np.ndarray:
+    """Deterministic test signals in the spirit of the reference's test_streams
+    generator (src/test_streams/main.c:217-967)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n, dtype=np.float64)
+    amp = (1 << (bps - 1)) - 1
+    out = np.zeros((n, channels), dtype=np.int32)
+    for c in range(channels):
+        if kind == "sine":
+            f1, f2 = 441.0 * (c + 1), 1234.5 + 100 * c
+            x = 0.6 * np.sin(2 * np.pi * f1 * t / 44100) + 0.3 * np.sin(2 * np.pi * f2 * t / 44100)
+            out[:, c] = np.round(x * amp * 0.8).astype(np.int32)
+        elif kind == "noise":
+            out[:, c] = rng.integers(-amp - 1, amp + 1, size=n, dtype=np.int64).astype(np.int32)
+        elif kind == "quiet":  # low-amplitude correlated signal, LPC-friendly
+            x = np.cumsum(rng.normal(0, 30, size=n))
+            out[:, c] = np.clip(np.round(x), -amp - 1, amp).astype(np.int32)
+        elif kind == "constant":
+            out[:, c] = (c * 1000 - 7)
+        elif kind == "wasted":  # all samples share trailing zero bits
+            x = rng.integers(-(amp >> 4), (amp >> 4), size=n, dtype=np.int64) << 4
+            out[:, c] = x.astype(np.int32)
+        else:
+            raise ValueError(kind)
+    return out

@@ -1,0 +1,133 @@
+"""Partitioned-Rice parameter search, batched.
+
+Re-expresses the reference's partition machinery as tensor reductions:
+
+* precompute_partition_info_sums_ (stream_encoder.c:3774-3841): leaf sums at
+  max partition order via reshape-sum, then pairwise merges upward — a
+  segmented-reduction tree,
+* per-partition parameter estimate k = smallest r with n*2^r >= sum
+  (stream_encoder.c:4046-4048),
+* the partition bit-count estimator count_rice_bits_in_partition_
+  (stream_encoder.c:3940-3966): 4 + (1+k)*n + (k ? sum>>(k-1) : sum<<1) - n/2,
+* find_best_partition_order_ (stream_encoder.c:3666-3763): descending order
+  sweep keeping strictly-better totals (ties keep the higher order),
+* plus an *exact* bit count for the chosen parameters — the packer needs
+  exact codeword lengths for its prefix-sum layout, while candidate selection
+  uses the reference's estimator to replicate its choices.
+
+Escape codes are searched only when do_escape_coding is on (off in every
+preset, stream_encoder.c:120-141); decode-side escape support lives in the
+decoder.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from flac_tpu import constants as C
+
+
+class RiceSearchResult(NamedTuple):
+    approx_bits: jnp.ndarray   # [...] int64 — reference's estimator result (selection)
+    exact_bits: jnp.ndarray    # [...] int64 — true emitted residual-coding bits (layout)
+    partition_order: jnp.ndarray  # [...] int32
+    params_leaf: jnp.ndarray   # [..., 2^max_po] int32, chosen params at leaf granularity
+    is_rice2: jnp.ndarray      # [...] bool
+
+
+from flac_tpu.dsp.bitmath import bitlen64 as _bitlen  # exact, TPU-legal
+
+
+def fold_residual(res: jnp.ndarray) -> jnp.ndarray:
+    """Sign-fold to unsigned: (v<<1)^(v>>31) (bitwriter.c:561), as int64."""
+    r = res.astype(jnp.int64)
+    return jnp.where(r >= 0, r << 1, (-r << 1) - 1)
+
+
+def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
+                suggested: jnp.ndarray, blocksize: int, min_po: int, max_po: int,
+                rice_limit: int) -> RiceSearchResult:
+    """Search partition orders [min_po, max_po] for the best Rice coding.
+
+    absres: [..., T] int64 |residual| (zeros at t < order) — the reference's
+    partition sums are over abs values (stream_encoder.c:3815), NOT the
+    sign-folded codeword values; parameter estimation and the bit estimator
+    both consume these sums.
+    folded: [..., T] int64 sign-folded residuals (bitwriter.c:561), zeros at
+    t < order — used for the exact emitted-bits count.
+    order: [...] predictor order. suggested: [...] the caller's estimator-based
+    parameter (used for partition order 0, stream_encoder.c:3997-4032).
+    Static: blocksize (== T), min_po/max_po (already limited by the blocksize
+    factorization, format.c:538), rice_limit (15, or 31 when stream bps > 16).
+    """
+    T = blocksize
+    batch = folded.shape[:-1]
+    nleaf = 1 << max_po
+    ps_leaf = T >> max_po
+    leaf_sums = absres.reshape(batch + (nleaf, ps_leaf)).sum(axis=-1)
+
+    sums_by_po: dict[int, jnp.ndarray] = {max_po: leaf_sums}
+    for po in range(max_po - 1, -1, -1):
+        prev = sums_by_po[po + 1]
+        sums_by_po[po] = prev[..., 0::2] + prev[..., 1::2]
+
+    t = jnp.arange(T)
+    totals = []
+    params_leaf_by_po = []
+    po_list = list(range(max_po, min_po - 1, -1))  # descending: ties keep higher po
+    for po in po_list:
+        nparts = 1 << po
+        ps = T >> po
+        sums = sums_by_po[po]
+        n_p = jnp.full(batch + (nparts,), ps, jnp.int64)
+        n_p = n_p.at[..., 0].add(-order.astype(jnp.int64))
+        if po == 0:
+            k = jnp.broadcast_to(suggested[..., None], batch + (1,)).astype(jnp.int32)
+        else:
+            # smallest k with n*2^k >= sum  <=>  bitlen(ceil(sum/n) - 1)
+            q = (sums + n_p - 1) // jnp.maximum(n_p, 1)
+            k = jnp.where(q <= 1, 0, _bitlen(q - 1))
+            k = jnp.minimum(k, rice_limit - 1)
+        k64 = k.astype(jnp.int64)
+        part_bits = (C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_PARAMETER_LEN
+                     + (1 + k64) * n_p
+                     + jnp.where(k64 > 0, sums >> jnp.maximum(k64 - 1, 0), sums << 1)
+                     - (n_p >> 1))
+        total = (C.ENTROPY_CODING_METHOD_TYPE_LEN
+                 + C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_ORDER_LEN
+                 + part_bits.sum(axis=-1))
+        # partition order invalid when a full partition is <= predictor order
+        # (format.c:548; set_partitioned_rice_ returns false, :4010)
+        invalid = (ps <= order) if po > 0 else (order >= T)
+        total = jnp.where(invalid, jnp.int64(2**62), total)
+        totals.append(total)
+        params_leaf_by_po.append(jnp.repeat(k, nleaf // nparts, axis=-1))
+
+    totals_arr = jnp.stack(totals, axis=-1)              # [..., n_po] descending po
+    best_idx = jnp.argmin(totals_arr, axis=-1)           # first (=highest po) on ties
+    approx_bits = jnp.take_along_axis(totals_arr, best_idx[..., None], axis=-1)[..., 0]
+    po_arr = jnp.asarray(po_list, jnp.int32)
+    best_po = po_arr[best_idx]
+    params_stack = jnp.stack(params_leaf_by_po, axis=-2)  # [..., n_po, nleaf]
+    params_leaf = jnp.take_along_axis(
+        params_stack, best_idx[..., None, None], axis=-2)[..., 0, :]
+
+    # exact bits for the chosen parameters: sum over valid samples of
+    # (u >> k) + 1 + k, plus the per-partition parameter fields
+    k_samp = jnp.repeat(params_leaf, ps_leaf, axis=-1).astype(jnp.int64)  # [..., T]
+    valid = t >= order[..., None]
+    cw_bits = jnp.where(valid, (folded >> k_samp) + 1 + k_samp, 0)
+    is_rice2 = jnp.any(params_leaf >= C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_ESCAPE_PARAMETER,
+                       axis=-1)
+    plen = jnp.where(is_rice2,
+                     C.ENTROPY_CODING_METHOD_PARTITIONED_RICE2_PARAMETER_LEN,
+                     C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_PARAMETER_LEN).astype(jnp.int64)
+    nparts_chosen = (jnp.int64(1) << best_po.astype(jnp.int64))
+    exact = (C.ENTROPY_CODING_METHOD_TYPE_LEN
+             + C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_ORDER_LEN
+             + plen * nparts_chosen + cw_bits.sum(axis=-1))
+    return RiceSearchResult(approx_bits=approx_bits, exact_bits=exact,
+                            partition_order=best_po, params_leaf=params_leaf,
+                            is_rice2=is_rice2)

@@ -9,14 +9,24 @@ import os
 import subprocess
 from pathlib import Path
 
-# Must be set before jax import.
+# Must be set before jax import. Note: under the axon TPU tunnel the plugin
+# ignores JAX_PLATFORMS, so tests additionally pin jax_default_device to CPU
+# below (fast local compiles; the real-TPU path is exercised by bench.py).
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+if jax.devices()[0].platform != "cpu":
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
+def cpu_devices():
+    return jax.devices("cpu")
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 ORACLE_SCRIPT = REPO_ROOT / "tools" / "build_reference_oracle.sh"

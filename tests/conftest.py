@@ -24,6 +24,11 @@ import pytest  # noqa: E402
 if jax.devices()[0].platform != "cpu":
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
+# persistent compilation cache: the suite compiles many (level, blocksize,
+# channels, bps) encoder variants; reruns should not pay that again
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-flac-tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def cpu_devices():
     return jax.devices("cpu")

@@ -1,0 +1,338 @@
+"""Batched device frame decoder.
+
+Decodes B equal-geometry frames in parallel on the device: the reference's
+bit-serial reader loops (bitreader.c:775 Rice block read, stream_decoder.c
+:1996-2776 frame/subframe parsing) become vectorized bit-window gathers over
+a flat word array, with one lax.scan over sample positions doing Rice/verbatim
+extraction for the whole batch at once, and the LPC/fixed restore recurrence
+running as a batched scan (SURVEY.md §5.7).
+
+Variable-geometry frames (the stream's final partial frame, corrupt frames)
+are handled by the host decoder; the stream driver (flac_tpu.decode.stream)
+routes them there.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flac_tpu import constants as C
+
+# fixed-predictor restore coefficients (decoder view): x[t] = res[t] + sum c_j x[t-j]
+_FIXED_COEFFS = np.array([
+    [0, 0, 0, 0],
+    [1, 0, 0, 0],
+    [2, -1, 0, 0],
+    [3, -3, 1, 0],
+    [4, -6, 4, -1],
+], np.int32)
+
+
+@dataclass(frozen=True)
+class DecoderGeometry:
+    """Static frame geometry shared by a batch (from STREAMINFO + header codes)."""
+
+    blocksize: int
+    channels: int
+    bits_per_sample: int
+    sample_rate: int
+    max_lpc_order: int = 32  # tightening this speeds up the restore scan
+    check_assignment: bool = True
+
+    @property
+    def header_ext_bits(self) -> int:
+        """Static blocksize/sample-rate extension widths in the frame header."""
+        from flac_tpu.encode.frame_encoder import _header_static_codes
+
+        class _Cfg:  # minimal shim for the shared helper
+            sample_rate = self.sample_rate
+            bits_per_sample = self.bits_per_sample
+        (_bs, bs_ext, _bv, _sr, sr_ext, _sv, _bc) = _header_static_codes(_Cfg, self.blocksize)
+        return bs_ext + sr_ext
+
+
+def _peek32(words: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Next 32 bits at bit position `pos`, MSB-aligned, as int64 in [0, 2^32)."""
+    wi = pos >> 5
+    off = pos & 31
+    n = words.shape[0]
+    w0 = words[jnp.minimum(wi, n - 1)].astype(jnp.int64) & 0xFFFFFFFF
+    w1 = words[jnp.minimum(wi + 1, n - 1)].astype(jnp.int64) & 0xFFFFFFFF
+    return jnp.where(off > 0, ((w0 << off) | (w1 >> (32 - off))) & 0xFFFFFFFF, w0)
+
+
+def _read_bits(words, pos, n):
+    """Read `n` (<=32, may be a traced per-lane array, may be 0) bits."""
+    top = _peek32(words, pos)
+    n64 = jnp.asarray(n, jnp.int64)
+    val = jnp.where(n64 > 0, top >> (32 - n64), 0)
+    return val, pos + n64
+
+
+def _sign_extend(v, n):
+    n64 = jnp.asarray(n, jnp.int64)
+    half = jnp.where(n64 > 0, jnp.int64(1) << jnp.maximum(n64 - 1, 0), jnp.int64(0))
+    return jnp.where((n64 > 0) & (v >= half), v - (jnp.int64(1) << n64), v)
+
+
+def _read_unary(words, pos):
+    """Vectorized unary read: count zero bits to the stop bit (can exceed 32)."""
+    zero = jnp.zeros_like(pos)
+
+    def cond(s):
+        _, _, done = s
+        return ~jnp.all(done)
+
+    def body(s):
+        p, q, done = s
+        top = _peek32(words, p)
+        z = jax.lax.clz(top.astype(jnp.uint32)).astype(jnp.int64)  # 32 when top==0
+        found = top != 0
+        q2 = q + jnp.where(done, 0, jnp.where(found, z, 32))
+        p2 = p + jnp.where(done, 0, jnp.where(found, z + 1, 32))
+        return p2, q2, done | found
+
+    pos2, q, _ = jax.lax.while_loop(cond, body, (pos, zero, zero.astype(bool)))
+    return q, pos2
+
+
+def build_frame_decoder(geom: DecoderGeometry):
+    """Returns a jitted fn: (words [W] int32, start_bits [B] int64) ->
+    (pcm [B, T, Ch] int32, end_bits [B] int64, meta dict)."""
+    T = geom.blocksize
+    Ch = geom.channels
+    bps = geom.bits_per_sample
+    maxord = geom.max_lpc_order
+    ext_bits = geom.header_ext_bits
+    fixed_coeffs = jnp.asarray(_FIXED_COEFFS)
+
+    def decode(words: jnp.ndarray, start_bits: jnp.ndarray):
+        pos = start_bits.astype(jnp.int64)
+        B = pos.shape[0]
+
+        # ---- frame header --------------------------------------------------
+        h, pos = _read_bits(words, pos, 32)
+        ca_code = (h >> 4) & 15
+        sync_ok = (h >> 18) == 0x3FFE
+        lead, _ = _read_bits(words, pos, 8)
+        utf8_len = (1 + (lead >= 0xC0).astype(jnp.int64) + (lead >= 0xE0)
+                    + (lead >= 0xF0) + (lead >= 0xF8) + (lead >= 0xFC) + (lead >= 0xFE))
+        pos = pos + 8 * utf8_len + ext_bits + 8  # number + static exts + CRC-8
+
+        if Ch == 2:
+            assignment = jnp.where(ca_code == 8, 1,
+                         jnp.where(ca_code == 9, 2,
+                         jnp.where(ca_code == 10, 3, 0))).astype(jnp.int32)
+        else:
+            assignment = jnp.zeros(B, jnp.int32)
+
+        # ---- subframes (sequential over channels, batched over frames) -----
+        chans = []
+        wasteds = []
+        types = []
+        orders = []
+        for c in range(Ch):
+            cbps = jnp.full(B, bps, jnp.int64)
+            if Ch == 2:
+                # the side channel carries one extra bit (stream_decoder.c:2022)
+                is_side = ((assignment == 1) & (c == 1)) | ((assignment == 2) & (c == 0)) \
+                          | ((assignment == 3) & (c == 1))
+                cbps = cbps + is_side.astype(jnp.int64)
+            x, pos, w, st, so = _decode_subframe(words, pos, cbps)
+            chans.append(x)
+            wasteds.append(w)
+            types.append(st)
+            orders.append(so)
+
+        # ---- byte-align + CRC16 --------------------------------------------
+        pos = (pos + 7) & ~jnp.int64(7)
+        pos = pos + 16  # frame CRC-16 (validated host-side / via MD5)
+
+        ch0 = chans[0]
+        if Ch == 2:
+            ch1 = chans[1]
+            a = assignment[:, None].astype(jnp.int64)
+            ls_l, ls_r = ch0, ch0 - ch1
+            rs_l, rs_r = ch0 + ch1, ch1
+            mid2 = (ch0 << 1) | (ch1 & 1)
+            ms_l, ms_r = (mid2 + ch1) >> 1, (mid2 - ch1) >> 1
+            left = jnp.where(a == 1, ls_l, jnp.where(a == 2, rs_l, jnp.where(a == 3, ms_l, ch0)))
+            right = jnp.where(a == 1, ls_r, jnp.where(a == 2, rs_r, jnp.where(a == 3, ms_r, ch1)))
+            pcm = jnp.stack([left, right], axis=-1)
+        else:
+            pcm = jnp.stack(chans, axis=-1)
+        meta = dict(sync_ok=sync_ok, assignment=assignment,
+                    subframe_type=jnp.stack(types, axis=1),
+                    order=jnp.stack(orders, axis=1),
+                    wasted=jnp.stack(wasteds, axis=1))
+        return pcm.astype(jnp.int32), pos, meta
+
+    def _decode_subframe(words, pos, cbps):
+        B = pos.shape[0]
+        hdr, pos = _read_bits(words, pos, 8)
+        stype = (hdr >> 1) & 0x3F
+        wflag = hdr & 1
+        wq, pos_w = _read_unary(words, pos)
+        wasted = jnp.where(wflag == 1, wq + 1, 0)
+        pos = jnp.where(wflag == 1, pos_w, pos)
+        ebps = cbps - wasted
+
+        is_const = stype == 0
+        is_verb = stype == 1
+        is_fixed = (stype >> 3) == 1
+        is_lpc = (stype >> 5) == 1
+        is_coded = is_fixed | is_lpc
+        order = jnp.where(is_fixed, stype & 7,
+                jnp.where(is_lpc, (stype & 31) + 1, 0)).astype(jnp.int64)
+
+        # constant value
+        cval_raw, p2 = _read_bits(words, pos, jnp.where(is_const, ebps, 0))
+        cval = _sign_extend(cval_raw, jnp.where(is_const, ebps, 0))
+        pos = p2
+
+        # warmup samples (masked static loop)
+        warm = jnp.zeros((B, maxord), jnp.int64)
+        for j in range(maxord):
+            nbits = jnp.where(is_coded & (j < order), ebps, 0)
+            v, pos = _read_bits(words, pos, nbits)
+            warm = warm.at[:, j].set(_sign_extend(v, nbits))
+
+        # LPC header: precision, shift, coefficients
+        pv, pos = _read_bits(words, pos, jnp.where(is_lpc, 4, 0))
+        prec = jnp.where(is_lpc, pv + 1, 0)
+        sv, pos = _read_bits(words, pos, jnp.where(is_lpc, 5, 0))
+        shift = _sign_extend(sv, jnp.where(is_lpc, 5, 0))
+        qlp = jnp.zeros((B, maxord), jnp.int64)
+        for j in range(maxord):
+            nbits = jnp.where(is_lpc & (j < order), prec, 0)
+            v, pos = _read_bits(words, pos, nbits)
+            qlp = qlp.at[:, j].set(_sign_extend(v, nbits))
+
+        # entropy coding method
+        ev, pos = _read_bits(words, pos, jnp.where(is_coded, 6, 0))
+        method = (ev >> 4) & 3
+        po = ev & 15
+        plen = jnp.where(method == 1, 5, 4).astype(jnp.int64)
+        pesc = jnp.where(method == 1, 31, 15).astype(jnp.int64)
+        ps = jnp.where(is_coded, T >> po, T).astype(jnp.int64)
+
+        # ---- residual / verbatim scan over sample positions ----------------
+        def step(state, t):
+            pos, k, rawlen = state
+            boundary = is_coded & (jnp.mod(t, ps) == 0)
+            pv = _peek32(words, pos)
+            k_new = jnp.where(boundary, pv >> (32 - plen), k)
+            pos = pos + jnp.where(boundary, plen, 0)
+            esc = k_new == pesc
+            rl_v = _peek32(words, pos) >> 27  # next 5 bits
+            rawlen = jnp.where(boundary & esc, rl_v, rawlen)
+            pos = pos + jnp.where(boundary & esc, 5, 0)
+            k2 = k_new
+
+            in_res = is_coded & (t >= order)
+            # rice path
+            q, pos_rice = _read_unary(words, jnp.where(in_res & ~esc, pos, 0))
+            # lanes not in rice mode: keep pos (we fed pos=0 to the unary read
+            # to keep it bounded; recompute advance via where)
+            q = jnp.where(in_res & ~esc, q, 0)
+            lsb = jnp.where(in_res & ~esc,
+                            _peek32(words, pos_rice) >> (32 - jnp.maximum(k2, 1)), 0)
+            lsb = jnp.where(k2 > 0, lsb, 0)
+            folded = (q << jnp.maximum(k2, 0)) | lsb
+            rice_val = (folded >> 1) ^ -(folded & 1)
+            pos = jnp.where(in_res & ~esc, pos_rice + k2, pos)
+            # escape (raw) path
+            nbits_raw = jnp.where(in_res & esc, rawlen, 0)
+            rv, pos = _read_bits(words, pos, nbits_raw)
+            raw_val = _sign_extend(rv, nbits_raw)
+            # verbatim path
+            nbits_vb = jnp.where(is_verb, ebps, 0)
+            vv, pos = _read_bits(words, pos, nbits_vb)
+            verb_val = _sign_extend(vv, nbits_vb)
+
+            out = jnp.where(in_res & ~esc, rice_val,
+                  jnp.where(in_res & esc, raw_val,
+                  jnp.where(is_verb, verb_val, 0)))
+            return (pos, k2, rawlen), out
+
+        (pos, _, _), res_t = jax.lax.scan(
+            step, (pos, jnp.zeros(B, jnp.int64), jnp.zeros(B, jnp.int64)),
+            jnp.arange(T, dtype=jnp.int64))
+        res = res_t.T  # [B, T]
+
+        # ---- reconstruct ----------------------------------------------------
+        # unified restore: fixed orders use binomial coefficients with shift 0
+        coeffs = jnp.where(is_lpc[:, None], qlp,
+                           jnp.zeros((B, maxord), jnp.int64))
+        if maxord >= 4:
+            fixed_c = fixed_coeffs[jnp.clip(order, 0, 4)].astype(jnp.int64)  # [B,4]
+            coeffs = jnp.where(is_fixed[:, None],
+                               jnp.pad(fixed_c, ((0, 0), (0, maxord - 4))), coeffs)
+        rshift = jnp.where(is_lpc, jnp.maximum(shift, 0), 0)
+        x = _restore_scan(res, coeffs, order, rshift, warm, is_coded)
+        x = jnp.where(is_const[:, None], cval[:, None], x)
+        x = jnp.where(is_verb[:, None], res, x)
+        x = x << wasted[:, None]
+        return x, pos, wasted.astype(jnp.int32), \
+            jnp.where(is_const, 0, jnp.where(is_verb, 1, jnp.where(is_fixed, 2, 3))).astype(jnp.int32), \
+            order.astype(jnp.int32)
+
+    def _restore_scan(res, coeffs, order, shift, warm, is_coded):
+        B = res.shape[0]
+        hist0 = jnp.zeros((B, maxord), jnp.int64)
+        jgrid = jnp.arange(maxord)
+        w_full = jnp.concatenate(
+            [warm, jnp.zeros((B, max(T - maxord, 0)), jnp.int64)], axis=1)[:, :T]
+
+        def step(hist, inp):
+            r_t, w_t, t = inp
+            pred = jnp.sum(jnp.where(jgrid[None, :] < order[:, None], coeffs * hist, 0), axis=1)
+            pred = jax.lax.shift_right_arithmetic(pred, shift)
+            x_t = jnp.where(is_coded, jnp.where(t < order, w_t, r_t + pred), 0)
+            hist = jnp.concatenate([x_t[:, None], hist[:, :-1]], axis=1)
+            return hist, x_t
+
+        _, xs = jax.lax.scan(step, hist0,
+                             (res.T, w_full.T, jnp.arange(T, dtype=jnp.int64)))
+        return xs.T
+
+    return jax.jit(decode)
+
+
+# ---------------------------------------------------------------------------
+
+
+def bytes_to_words(data: bytes | np.ndarray) -> np.ndarray:
+    """Big-endian uint32 view of a byte stream, zero-padded."""
+    arr = np.frombuffer(bytes(data), np.uint8) if isinstance(data, (bytes, bytearray)) \
+        else np.ascontiguousarray(data, np.uint8).reshape(-1)
+    pad = (-len(arr)) % 4
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad + 8, np.uint8)])
+    else:
+        arr = np.concatenate([arr, np.zeros(8, np.uint8)])
+    return arr.view(">u4").astype(np.uint32).view(np.int32)
+
+
+def make_verifier(cfg):
+    """Verify-while-encoding hook (the reference's decoder-in-the-encoder,
+    stream_encoder.c:977-1006): decode a batch of freshly packed frames."""
+    geom = DecoderGeometry(blocksize=cfg.blocksize, channels=cfg.channels,
+                           bits_per_sample=cfg.bits_per_sample,
+                           sample_rate=cfg.sample_rate,
+                           max_lpc_order=max(cfg.max_lpc_order, 4))
+    dec = build_frame_decoder(geom)
+
+    def verify(byte_rows: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        B, rowbytes = byte_rows.shape
+        words = bytes_to_words(byte_rows.reshape(-1))
+        starts = (np.arange(B, dtype=np.int64) * rowbytes) * 8
+        pcm, end, meta = dec(jnp.asarray(words), jnp.asarray(starts))
+        return np.asarray(pcm)
+
+    return verify

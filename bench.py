@@ -1,0 +1,82 @@
+"""Headline benchmark: level-5 stereo 16-bit/44.1 kHz encode throughput per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference project's published numbers (BASELINE.md, from
+doc/html/comparison.html): flac -5 encode ≈ 1.0 Msamples/s of stereo samples
+(≈0.49 M stereo pairs/s) on the PII-333 benchmark machine. `vs_baseline` is
+this chip's steady-state device encode throughput divided by that.
+
+Measures the jitted batched frame encoder (the full -5 pipeline: mid/side
+search, fixed+LPC order 8 analysis with tukey(0.5) window, Rice partition
+search to order 5, prefix-sum bit packing, CRC-8/16) on whichever backend JAX
+selects (the real TPU chip under the driver). Compile time excluded; the
+timed region includes host→device transfer of the PCM batch and device→host
+transfer of packed words, i.e. a deliverable byte stream.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def make_corpus(n_samples: int, seed: int = 7) -> np.ndarray:
+    """CD-audio-like stereo: correlated tonal content + noise floor, so the
+    encoder exercises its real decision paths (LPC wins, mid-side wins often)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples, dtype=np.float64) / 44100.0
+    base = (0.45 * np.sin(2 * np.pi * 220.0 * t)
+            + 0.25 * np.sin(2 * np.pi * 659.3 * t + 0.3)
+            + 0.12 * np.sin(2 * np.pi * 1760.0 * t + 1.1))
+    am = 0.6 + 0.4 * np.sin(2 * np.pi * 0.37 * t)
+    left = base * am + rng.normal(0, 0.004, n_samples)
+    right = 0.92 * base * am + rng.normal(0, 0.004, n_samples)
+    pcm = np.stack([left, right], axis=-1)
+    return np.clip(np.round(pcm * 28000), -32768, 32767).astype(np.int32)
+
+
+def main() -> None:
+    import jax
+
+    from flac_tpu.encode.frame_encoder import EncoderConfig, build_frame_encoder
+
+    dev = jax.devices()[0]
+    T = 4096
+    batch = 256 if dev.platform == "tpu" else 32
+    cfg = EncoderConfig.from_level(5, channels=2, bits_per_sample=16,
+                                   sample_rate=44100, blocksize=T)
+    encode = build_frame_encoder(cfg)
+
+    pcm = make_corpus(batch * T).reshape(batch, T, 2)
+    fnos = np.arange(batch, dtype=np.int64)
+
+    # warmup / compile
+    words, bits, info = encode(pcm, fnos)
+    jax.block_until_ready(words)
+
+    reps = 5 if dev.platform == "tpu" else 2
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        words, bits, info = encode(pcm, fnos)
+        np.asarray(words)  # include D2H of the packed stream
+        np.asarray(bits)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+
+    samples = batch * T * 2  # stereo samples, matching BASELINE.md's unit
+    msps = samples / best / 1e6
+    baseline_msps = 1.0  # libFLAC -5 encode, derived in BASELINE.md
+    print(json.dumps({
+        "metric": "encode_-5_stereo16_44k1_throughput_per_chip",
+        "value": round(msps, 3),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps / baseline_msps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -141,7 +141,13 @@ def quantize_coefficients(lp_coeff: jnp.ndarray, order: jnp.ndarray, precision: 
     min_shiftlimit = -max_shiftlimit - 1
     ok_shift = shift >= min_shiftlimit  # too-small shift: ret 1
     shift = jnp.minimum(shift, max_shiftlimit)
-    scale = jnp.ldexp(1.0, shift)  # 2^shift, exact also for negative shift
+    # 2^shift, exact also for negative shift. Built from int64 shifts instead
+    # of jnp.ldexp: XLA's TPU x64-rewriting can't lower ldexp's s64 bitcasts.
+    # Out-of-range lanes (|shift| > 62) are already masked off by ok_shift /
+    # the min() clamp, so clipping here never changes a surviving result.
+    shift_c = jnp.clip(shift, -62, 62).astype(jnp.int64)
+    scale = (jnp.where(shift_c >= 0, jnp.int64(1) << shift_c, 1).astype(jnp.float64)
+             / jnp.where(shift_c < 0, jnp.int64(1) << (-shift_c), 1).astype(jnp.float64))
     err = jnp.zeros(c.shape[:-1], jnp.float64)
     qs = []
     for j in range(L):

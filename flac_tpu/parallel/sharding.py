@@ -1,0 +1,150 @@
+"""Frame-sharded encoding over a device mesh.
+
+Design (SURVEY.md §2.3, §5.8): FLAC frames are fully self-contained — predictor
+warm-up samples live inside each subframe and prediction history never crosses
+a frame boundary (reference format.h:304-331, stream_encoder.c:3515) — so the
+frame-batch axis is embarrassingly data-parallel. What is NOT local:
+
+* STREAMINFO statistics (min/max frame size, total samples): min/max/sum
+  collectives over the mesh (reference tracks these serially in write_frame_,
+  stream_encoder.c:2418-2421).
+* Frame placement in the output stream & seekpoint byte offsets: an exclusive
+  prefix sum of per-frame encoded byte lengths. Locally a cumsum; across
+  shards an all_gather of per-shard totals + masked sum (a two-level scan).
+* The ordered byte stream / MD5: inherently sequential, stays on the host I/O
+  path (the driver concatenates shards in frame order).
+
+The mesh is 2-D ('host', 'chip'): 'host' models the DCN axis across hosts and
+'chip' the ICI axis within a slice; frames shard over both (pure DP — a codec
+has no TP/PP analog, SURVEY.md §2.3). Collectives reduce over both axes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flac_tpu.encode.frame_encoder import EncoderConfig, build_frame_encoder
+
+
+def make_mesh(devices=None, n_hosts: int | None = None) -> Mesh:
+    """A ('host', 'chip') mesh over the given (default: all) devices.
+
+    With one process and N local devices this still produces a 2-D mesh so the
+    cross-'host' collective paths compile and execute exactly as they would on
+    a real multi-host slice (single-host multi-device simulation, SURVEY.md §4).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n_hosts is None:
+        # prefer an even split so both mesh axes are non-trivial when possible
+        n_hosts = 2 if n % 2 == 0 and n >= 2 else 1
+    if n % n_hosts:
+        raise ValueError(f"{n} devices not divisible into {n_hosts} hosts")
+    arr = np.asarray(devices).reshape(n_hosts, n // n_hosts)
+    return Mesh(arr, ("host", "chip"))
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ShardedEncodeResult:
+    """Outputs of one sharded encode step (all global-shape arrays)."""
+
+    words: jax.Array        # [B, maxwords] int32 — packed big-endian frame words
+    nbytes: jax.Array       # [B] int64 — encoded byte length per frame
+    stream_offset: jax.Array  # [B] int64 — exclusive prefix sum of nbytes
+    min_framesize: jax.Array  # [] int64 — global min (STREAMINFO)
+    max_framesize: jax.Array  # [] int64 — global max (STREAMINFO)
+    total_bytes: jax.Array    # [] int64 — global sum
+    assignment: jax.Array     # [B] int32 — chosen channel assignment
+
+
+def build_sharded_encode_step(cfg: EncoderConfig, mesh: Mesh,
+                              frames_per_device: int):
+    """Returns `step(pcm[B,T,Ch], frame_numbers[B]) -> ShardedEncodeResult`,
+    jitted over the mesh with the frame axis sharded across every device.
+
+    B must equal frames_per_device * mesh.size. The per-shard body runs the
+    full batched frame encoder; cross-shard reductions and the two-level
+    length prefix-sum ride the mesh's collectives.
+    """
+    cfg = cfg.resolve()
+    encode = build_frame_encoder(cfg)
+    n_dev = mesh.size
+    B = frames_per_device * n_dev
+    axes = ("host", "chip")
+
+    def local_step(pcm, fnos):
+        # pcm: [frames_per_device, T, Ch] (this shard's frames)
+        words, total_bits, info = encode(pcm, fnos)
+        nbytes = ((total_bits.astype(jnp.int64) + 7) // 8)
+
+        # --- global STREAMINFO statistics over ICI+DCN ----------------------
+        min_fs = jax.lax.pmin(jnp.min(nbytes), axis_name=axes)
+        max_fs = jax.lax.pmax(jnp.max(nbytes), axis_name=axes)
+        total = jax.lax.psum(jnp.sum(nbytes), axis_name=axes)
+
+        # --- two-level exclusive prefix sum of frame byte lengths -----------
+        # level 1: local exclusive cumsum; level 2: all_gather each shard's
+        # total and add the sum of all preceding shards' totals.
+        local_excl = jnp.cumsum(nbytes) - nbytes
+        shard_total = jnp.sum(nbytes)
+        # gather over both axes in row-major ('host' major) order = frame order
+        host_tot = jax.lax.all_gather(
+            jax.lax.all_gather(shard_total, "chip"), "host")  # [H, C]
+        flat = host_tot.reshape(-1)
+        my_idx = (jax.lax.axis_index("host") * jax.lax.axis_size("chip")
+                  + jax.lax.axis_index("chip"))
+        preceding = jnp.sum(jnp.where(jnp.arange(flat.shape[0]) < my_idx, flat, 0))
+        offsets = preceding + local_excl
+
+        return (words, nbytes, offsets, min_fs[None], max_fs[None], total[None],
+                info["assignment"])
+
+    spec_b = P(("host", "chip"))
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(("host", "chip"), None, None), spec_b),
+        out_specs=(P(("host", "chip"), None), spec_b, spec_b,
+                   P(("host", "chip")), P(("host", "chip")),
+                   P(("host", "chip")), spec_b),
+    )
+
+    in_sh = (NamedSharding(mesh, P(("host", "chip"), None, None)),
+             NamedSharding(mesh, spec_b))
+
+    @jax.jit
+    def step(pcm: jax.Array, frame_numbers: jax.Array) -> ShardedEncodeResult:
+        assert pcm.shape[0] == B, (pcm.shape, B)
+        pcm = jax.lax.with_sharding_constraint(pcm, in_sh[0])
+        frame_numbers = jax.lax.with_sharding_constraint(frame_numbers, in_sh[1])
+        words, nbytes, offs, mn, mx, tot, assign = sharded(pcm, frame_numbers)
+        return ShardedEncodeResult(
+            words=words, nbytes=nbytes, stream_offset=offs,
+            min_framesize=mn[0], max_framesize=mx[0], total_bytes=tot[0],
+            assignment=assign)
+
+    return step
+
+
+def encode_frames_sharded(pcm: np.ndarray, cfg: EncoderConfig,
+                          mesh: Mesh | None = None,
+                          first_frame_number: int = 0) -> ShardedEncodeResult:
+    """Convenience: encode [B, T, Ch] PCM with B sharded over all devices.
+
+    B must be divisible by the device count; the stream driver handles
+    padding/remainders.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    B = pcm.shape[0]
+    if B % mesh.size:
+        raise ValueError(f"batch {B} not divisible by mesh size {mesh.size}")
+    step = build_sharded_encode_step(cfg, mesh, B // mesh.size)
+    fnos = np.arange(first_frame_number, first_frame_number + B, dtype=np.int64)
+    return step(jnp.asarray(pcm), jnp.asarray(fnos))

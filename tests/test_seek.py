@@ -1,0 +1,90 @@
+"""Random-seek correctness — the analog of src/test_seeking/main.c:417-470:
+fixed + random seek_absolute calls, each landing PCM-verified against a full
+decode, over streams with and without a SEEKTABLE, our encoder and the
+reference binary's output alike."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_signal, oracle_path
+
+from flac_tpu.containers.wav import AudioBuffer, write_wav
+from flac_tpu.decode.host_decoder import decode_bytes
+from flac_tpu.decode.seek import SeekableDecoder, SeekError
+from flac_tpu.encode.encoder import encode_file
+
+
+def _encode(tmp_path, sig, level=5, rate=44100, bps=16, seekpoints=None):
+    path = tmp_path / "s.flac"
+    encode_file(sig, rate, bps, str(path), level=level, batch_frames=8,
+                seekpoints=seekpoints)
+    return open(path, "rb").read()
+
+
+def _seek_targets(n, rng, count=12):
+    fixed = [0, 1, n - 1, n // 2, n // 3, 4095, 4096, 4097]
+    fixed = sorted({t for t in fixed if 0 <= t < n})
+    rnd = rng.integers(0, n, size=count).tolist()
+    return fixed + rnd
+
+
+def _verify_seeks(data, sig):
+    n = len(sig)
+    dec = SeekableDecoder(data)
+    rng = np.random.default_rng(42)
+    for target in _seek_targets(n, rng):
+        want = sig[target : target + 1000]
+        got = dec.decode_range(target, len(want))
+        np.testing.assert_array_equal(got, want, err_msg=f"seek to {target}")
+
+
+class TestSeek:
+    def test_seek_no_seektable(self, tmp_path):
+        sig = make_signal(4096 * 7 + 1234, 2, 16, kind="sine")
+        data = _encode(tmp_path, sig)
+        _verify_seeks(data, sig)
+
+    def test_seek_with_seektable(self, tmp_path):
+        sig = make_signal(4096 * 7 + 99, 2, 16, kind="quiet", seed=3)
+        data = _encode(tmp_path, sig, seekpoints=[0, 8192, 16384, 24000])
+        _verify_seeks(data, sig)
+
+    def test_seek_mono_small_blocks(self, tmp_path):
+        sig = make_signal(1152 * 5 + 7, 1, 16, kind="noise", seed=5)
+        data = _encode(tmp_path, sig, level=1)
+        _verify_seeks(data, sig)
+
+    def test_streaming_read_across_frames(self, tmp_path):
+        sig = make_signal(4096 * 4, 2, 16, kind="quiet", seed=9)
+        data = _encode(tmp_path, sig)
+        dec = SeekableDecoder(data)
+        dec.seek_absolute(4000)
+        a = dec.read(300)   # spans the 4096 frame boundary
+        b = dec.read(5000)  # continues from where the last read ended
+        np.testing.assert_array_equal(np.concatenate([a, b]), sig[4000:4000 + 5300])
+
+    def test_seek_past_end_raises(self, tmp_path):
+        sig = make_signal(5000, 2, 16)
+        data = _encode(tmp_path, sig)
+        dec = SeekableDecoder(data)
+        with pytest.raises(SeekError):
+            dec.seek_absolute(5000)
+
+    def test_seek_in_oracle_stream(self, tmp_path):
+        """Seek inside a file produced by the reference `flac` binary."""
+        oracle = oracle_path()
+        if oracle is None:
+            pytest.skip("reference oracle unavailable")
+        sig = make_signal(4096 * 6 + 500, 2, 16, kind="sine", seed=8)
+        wav = tmp_path / "o.wav"
+        write_wav(str(wav), AudioBuffer(samples=sig, sample_rate=44100, bits_per_sample=16))
+        out = tmp_path / "o.flac"
+        r = subprocess.run([str(oracle), "-5", "-f", "-o", str(out), str(wav)],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-300:]
+        data = open(out, "rb").read()
+        pcm, si, _ = decode_bytes(data)
+        np.testing.assert_array_equal(pcm, sig)
+        _verify_seeks(data, sig)

@@ -6,6 +6,15 @@ metadata_iterators.c). Host-side, pure Python — there is no TPU content in
 metadata handling.
 """
 
+from flac_tpu.metadata.iterators import (  # noqa: F401
+    MetadataChain,
+    MetadataIOError,
+    SimpleIterator,
+    get_cuesheet,
+    get_picture,
+    get_streaminfo,
+    get_tags,
+)
 from flac_tpu.metadata.blocks import (  # noqa: F401
     Application,
     CueSheet,

@@ -1,0 +1,201 @@
+"""3-level metadata API tests — the analog of the reference's
+test_libFLAC metadata_manip.c coverage (level 0 getters, level 1
+SimpleIterator file edits, level 2 Chain read-modify-write with padding
+reuse vs. rewrite), verified against full decodes and the reference
+`metaflac`/`flac` binaries where available."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_signal, oracle_path
+
+from flac_tpu.decode.host_decoder import decode_bytes
+from flac_tpu.encode.encoder import encode_file
+from flac_tpu.metadata import (
+    Application,
+    MetadataChain,
+    MetadataIOError,
+    Padding,
+    Picture,
+    SimpleIterator,
+    StreamInfo,
+    VorbisComment,
+    get_picture,
+    get_streaminfo,
+    get_tags,
+)
+
+
+SIG = make_signal(4096 * 2 + 300, 2, 16, kind="quiet", seed=21)
+
+
+def _make_file(tmp_path, metadata=None, name="m.flac"):
+    path = tmp_path / name
+    encode_file(SIG, 44100, 16, str(path), level=2, batch_frames=8,
+                metadata=metadata)
+    return str(path)
+
+
+def _assert_audio_intact(path):
+    pcm, si, _ = decode_bytes(open(path, "rb").read())
+    np.testing.assert_array_equal(pcm, SIG)
+    oracle = oracle_path()
+    if oracle is not None:
+        r = subprocess.run([str(oracle), "-t", path], capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-300:]
+
+
+class TestLevel0:
+    def test_getters(self, tmp_path):
+        pic = Picture(picture_type=3, mime_type="image/png", description="cover",
+                      width=2, height=2, depth=24, data=b"\x89PNGfake")
+        vc = VorbisComment(vendor_string="x", comments=["TITLE=Song", "ARTIST=Me"])
+        path = _make_file(tmp_path, metadata=[vc, pic])
+        si = get_streaminfo(path)
+        assert isinstance(si, StreamInfo) and si.sample_rate == 44100
+        tags = get_tags(path)
+        assert tags.find_entry("TITLE") == "Song"
+        got = get_picture(path, picture_type=3)
+        assert got is not None and got.data == b"\x89PNGfake"
+        assert get_picture(path, picture_type=4) is None
+        assert get_picture(path, max_width=1) is None
+
+
+class TestChain:
+    def test_inplace_edit_with_padding(self, tmp_path):
+        vc = VorbisComment(vendor_string="x", comments=["TITLE=Old"])
+        path = _make_file(tmp_path, metadata=[vc, Padding(length=512)])
+        size0 = os.path.getsize(path)
+        chain = MetadataChain.read(path)
+        assert not chain.check_if_tempfile_needed()
+        tags = chain.get(VorbisComment)
+        tags.set_entry("TITLE", "A much longer title than before")
+        tags.set_entry("ALBUM", "New Album")
+        chain.write(use_padding=True)
+        assert os.path.getsize(path) == size0  # absorbed by padding
+        assert get_tags(path).find_entry("ALBUM") == "New Album"
+        _assert_audio_intact(path)
+
+    def test_rewrite_when_padding_exhausted(self, tmp_path):
+        path = _make_file(tmp_path, metadata=[VorbisComment(vendor_string="x")])
+        size0 = os.path.getsize(path)
+        chain = MetadataChain.read(path)
+        chain.get(VorbisComment).set_entry("COMMENT", "y" * 4000)
+        assert chain.check_if_tempfile_needed(use_padding=True)
+        chain.write(use_padding=True)
+        assert os.path.getsize(path) > size0
+        assert get_tags(path).find_entry("COMMENT") == "y" * 4000
+        _assert_audio_intact(path)
+
+    def test_shrink_without_padding_rewrites(self, tmp_path):
+        big = VorbisComment(vendor_string="x", comments=["C=" + "z" * 1000])
+        path = _make_file(tmp_path, metadata=[big])
+        size0 = os.path.getsize(path)
+        chain = MetadataChain.read(path)
+        chain.get(VorbisComment).remove_entries("C")
+        chain.write(use_padding=False)
+        assert os.path.getsize(path) < size0
+        _assert_audio_intact(path)
+
+    def test_merge_and_sort_padding(self, tmp_path):
+        path = _make_file(tmp_path, metadata=[Padding(length=10),
+                                              Padding(length=20),
+                                              Application(app_id=b"test", data=b"d"),
+                                              Padding(length=30)])
+        chain = MetadataChain.read(path)
+        chain.merge_padding()
+        pads = [b for b in chain.blocks if isinstance(b, Padding)]
+        assert [p.length for p in pads] == [10 + 4 + 20, 30]
+        chain.sort_padding()
+        pads = [b for b in chain.blocks if isinstance(b, Padding)]
+        assert len(pads) == 1 and chain.blocks[-1] is pads[0]
+        assert pads[0].length == (14 + 4 + 20) + (4 + 30) - 4
+        chain.write()
+        _assert_audio_intact(path)
+
+    def test_streaminfo_must_stay_first(self, tmp_path):
+        path = _make_file(tmp_path)
+        chain = MetadataChain.read(path)
+        chain.blocks = chain.blocks[1:] or [Padding(length=1)]
+        with pytest.raises(MetadataIOError):
+            chain.write()
+
+
+class TestSimpleIterator:
+    def test_walk_and_edit(self, tmp_path):
+        vc = VorbisComment(vendor_string="x", comments=["TITLE=t"])
+        path = _make_file(tmp_path, metadata=[vc, Padding(length=256)])
+        it = SimpleIterator(path)
+        assert isinstance(it.get_block(), StreamInfo)
+        types = [it.get_block_type()]
+        while it.next():
+            types.append(it.get_block_type())
+        assert 4 in types and 1 in types  # vorbis + padding present
+        # move to the vorbis block and replace it
+        it2 = SimpleIterator(path)
+        while not isinstance(it2.get_block(), VorbisComment):
+            assert it2.next()
+        newvc = VorbisComment(vendor_string="x", comments=["TITLE=replaced"])
+        it2.set_block(newvc, use_padding=True)
+        assert get_tags(path).find_entry("TITLE") == "replaced"
+        _assert_audio_intact(path)
+
+    def test_insert_and_delete(self, tmp_path):
+        path = _make_file(tmp_path, metadata=[Padding(length=128)])
+        it = SimpleIterator(path)
+        it.insert_block_after(Application(app_id=b"abcd", data=b"payload"))
+        assert it.get_block_type() == 2  # now on the inserted APPLICATION
+        _assert_audio_intact(path)
+        it3 = SimpleIterator(path)
+        while it3.get_block_type() != 2:
+            assert it3.next()
+        it3.delete_block(use_padding=True)
+        chain = MetadataChain.read(path)
+        assert chain.get(Application) is None
+        _assert_audio_intact(path)
+
+    def test_offsets_match_file(self, tmp_path):
+        path = _make_file(tmp_path, metadata=[Padding(length=64)])
+        it = SimpleIterator(path)
+        data = open(path, "rb").read()
+        while True:
+            off = it.get_block_offset()
+            assert (data[off] & 0x7F) == it.get_block_type()
+            assert int.from_bytes(data[off + 1 : off + 4], "big") == it.get_block_length()
+            if not it.next():
+                break
+
+
+class TestOracleInterop:
+    def test_metaflac_reads_our_edits(self, tmp_path):
+        oracle = oracle_path()
+        if oracle is None:
+            pytest.skip("reference oracle unavailable")
+        metaflac = oracle.parent / "metaflac"
+        if not metaflac.exists():
+            pytest.skip("metaflac oracle unavailable")
+        path = _make_file(tmp_path, metadata=[VorbisComment(vendor_string="x"),
+                                              Padding(length=256)])
+        chain = MetadataChain.read(path)
+        chain.get(VorbisComment).set_entry("ARTIST", "Unit Test")
+        chain.write()
+        r = subprocess.run([str(metaflac), "--show-tag=ARTIST", path],
+                           capture_output=True, text=True)
+        assert r.returncode == 0 and "ARTIST=Unit Test" in r.stdout
+
+    def test_we_read_metaflac_edits(self, tmp_path):
+        oracle = oracle_path()
+        if oracle is None:
+            pytest.skip("reference oracle unavailable")
+        metaflac = oracle.parent / "metaflac"
+        if not metaflac.exists():
+            pytest.skip("metaflac oracle unavailable")
+        path = _make_file(tmp_path, metadata=[Padding(length=256)])
+        r = subprocess.run([str(metaflac), "--set-tag=GENRE=Test", path],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-300:]
+        assert get_tags(path).find_entry("GENRE") == "Test"
+        _assert_audio_intact(path)

@@ -1,0 +1,699 @@
+"""`flac`-equivalent command line tool.
+
+The analog of src/flac/main.c (option table :97-230) and its encode/decode
+drivers (src/flac/encode.c, decode.c): encode (default), decode (-d), test
+(-t), and analyze (-a) modes over WAV/RF64/Wave64/AIFF/AIFF-C/raw/FLAC
+inputs, with the encoder option surface (-0..-8, -b/-m/-M/-l/-q/-r/-A/-e/-p,
+--lax, -V), stream windowing (--skip/--until/--cue), metadata at encode time
+(-S seektables, -T tags, --cuesheet, --picture, -P padding), raw-format
+options, foreign-chunk preservation, and the undocumented --disable-*
+debug flags.
+
+Usage: python -m flac_tpu.cli.flac [options] [infile [...]]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from flac_tpu.containers import (
+    AudioBuffer,
+    aiff_bytes,
+    parse_aiff,
+    parse_raw,
+    parse_w64,
+    parse_wav,
+    raw_bytes,
+    sniff_format,
+    w64_bytes,
+    wav_bytes,
+)
+from flac_tpu.version import __version__ as VERSION
+
+USAGE = __doc__
+
+
+class CLIError(Exception):
+    pass
+
+
+class Options:
+    def __init__(self) -> None:
+        self.mode = "encode"  # encode | decode | test | analyze
+        self.level = 5
+        self.verbosity = 2  # 0 totally silent, 1 silent(errors only), 2 normal
+        self.force = False
+        self.output_name: str | None = None
+        self.to_stdout = False
+        self.delete_input = False
+        self.lax = False
+        self.ogg = False
+        self.verify = False
+        self.decode_through_errors = False
+        self.warnings_as_errors = False
+        # encoder overrides (None = use preset)
+        self.blocksize: int | None = None
+        self.mid_side: bool | None = None
+        self.adaptive_mid_side: bool | None = None
+        self.max_lpc_order: int | None = None
+        self.qlp_precision: int | None = None
+        self.qlp_prec_search: bool | None = None
+        self.exhaustive: bool | None = None
+        self.escape_coding: bool | None = None
+        self.partition_orders: tuple[int, int] | None = None
+        self.apodizations: tuple | None = None
+        self.do_md5 = True
+        self.disable_constant = False
+        self.disable_fixed = False
+        self.disable_verbatim = False
+        # metadata at encode time
+        self.seektable_spec: str | None = None  # None => default; "" => none
+        self.padding: int | None = None  # None => default, 0 => --no-padding
+        self.tags: list[str] = []
+        self.cuesheet_file: str | None = None
+        self.picture_specs: list[str] = []
+        self.keep_foreign = False
+        # windowing
+        self.skip: str | None = None
+        self.until: str | None = None
+        self.cue: str | None = None
+        # raw format
+        self.force_raw = False
+        self.raw_endian: str | None = None
+        self.raw_sign: str | None = None
+        self.raw_channels: int | None = None
+        self.raw_bps: int | None = None
+        self.raw_rate: int | None = None
+        self.input_size: int | None = None
+        # decode output format
+        self.force_aiff = False
+        self.force_rf64 = False
+        self.force_w64 = False
+        # analysis
+        self.residual_text = False
+        self.residual_gnuplot = False
+        self.files: list[str] = []
+
+    def say(self, level: int, msg: str) -> None:
+        if self.verbosity >= level:
+            print(msg, file=sys.stderr)
+
+
+def parse_args(argv: list[str]) -> Options:
+    o = Options()
+    i = 0
+    n = len(argv)
+
+    def need_arg(name: str) -> str:
+        nonlocal i
+        i += 1
+        if i >= n:
+            raise CLIError(f"option {name} requires an argument")
+        return argv[i]
+
+    while i < n:
+        a = argv[i]
+        if a == "--":
+            o.files.extend(argv[i + 1:])
+            break
+        if not a.startswith("-") or a == "-":
+            o.files.append(a)
+            i += 1
+            continue
+        if a.startswith("--"):
+            name, _, inline = a[2:].partition("=")
+            val = inline if _ else None
+
+            def arg() -> str:
+                return val if val is not None else need_arg("--" + name)
+
+            if name == "help":
+                print(USAGE)
+                sys.exit(0)
+            elif name == "version":
+                print(f"flac_tpu {VERSION}")
+                sys.exit(0)
+            elif name == "decode":
+                o.mode = "decode"
+            elif name == "test":
+                o.mode = "test"
+            elif name == "analyze":
+                o.mode = "analyze"
+            elif name == "stdout":
+                o.to_stdout = True
+            elif name == "silent":
+                o.verbosity = 1
+            elif name == "totally-silent":
+                o.verbosity = 0
+            elif name == "force":
+                o.force = True
+            elif name == "delete-input-file":
+                o.delete_input = True
+            elif name == "output-name":
+                o.output_name = arg()
+            elif name == "warnings-as-errors":
+                o.warnings_as_errors = True
+            elif name == "lax":
+                o.lax = True
+            elif name == "ogg":
+                o.ogg = True
+            elif name == "verify":
+                o.verify = True
+            elif name == "decode-through-errors":
+                o.decode_through_errors = True
+            elif name == "compression-level-0":
+                o.level = 0
+            elif name and name.startswith("compression-level-"):
+                o.level = int(name.rsplit("-", 1)[1])
+            elif name == "fast":
+                o.level = 0
+            elif name == "best":
+                o.level = 8
+            elif name == "blocksize":
+                o.blocksize = int(arg())
+            elif name == "mid-side":
+                o.mid_side = True
+            elif name == "no-mid-side":
+                o.mid_side = False
+            elif name == "adaptive-mid-side":
+                o.adaptive_mid_side = True
+            elif name == "no-adaptive-mid-side":
+                o.adaptive_mid_side = False
+            elif name == "max-lpc-order":
+                o.max_lpc_order = int(arg())
+            elif name == "qlp-coeff-precision":
+                o.qlp_precision = int(arg())
+            elif name == "qlp-coeff-precision-search":
+                o.qlp_prec_search = True
+            elif name == "no-qlp-coeff-prec-search":
+                o.qlp_prec_search = False
+            elif name == "exhaustive-model-search":
+                o.exhaustive = True
+            elif name == "no-exhaustive-model-search":
+                o.exhaustive = False
+            elif name == "escape-coding":
+                o.escape_coding = True
+            elif name == "no-escape-coding":
+                o.escape_coding = False
+            elif name == "rice-partition-order":
+                o.partition_orders = _parse_partition_order(arg())
+            elif name == "apodization":
+                o.apodizations = _parse_apodization(arg())
+            elif name == "no-md5-sum":
+                o.do_md5 = False
+            elif name == "disable-constant-subframes":
+                o.disable_constant = True
+            elif name == "disable-fixed-subframes":
+                o.disable_fixed = True
+            elif name == "disable-verbatim-subframes":
+                o.disable_verbatim = True
+            elif name == "seekpoint":
+                o.seektable_spec = ((o.seektable_spec + ";") if o.seektable_spec
+                                    else "") + arg()
+            elif name == "no-seektable":
+                o.seektable_spec = ""
+            elif name == "padding":
+                o.padding = int(arg())
+            elif name == "no-padding":
+                o.padding = 0
+            elif name == "tag":
+                o.tags.append(arg())
+            elif name == "tag-from-file":
+                spec = arg()
+                tag_name, _, fname = spec.partition("=")
+                if not _:
+                    raise CLIError("--tag-from-file needs NAME=FILENAME")
+                with open(fname, encoding="utf-8") as f:
+                    o.tags.append(f"{tag_name}={f.read().rstrip()}")
+            elif name == "cuesheet":
+                o.cuesheet_file = arg()
+            elif name == "picture":
+                o.picture_specs.append(arg())
+            elif name == "keep-foreign-metadata":
+                o.keep_foreign = True
+            elif name == "skip":
+                o.skip = arg()
+            elif name == "until":
+                o.until = arg()
+            elif name == "cue":
+                o.cue = arg()
+            elif name == "force-raw-format":
+                o.force_raw = True
+            elif name == "endian":
+                o.raw_endian = arg()
+            elif name == "sign":
+                o.raw_sign = arg()
+            elif name == "channels":
+                o.raw_channels = int(arg())
+            elif name == "bps":
+                o.raw_bps = int(arg())
+            elif name == "sample-rate":
+                o.raw_rate = int(arg())
+            elif name == "input-size":
+                o.input_size = int(arg())
+            elif name == "force-aiff-format":
+                o.force_aiff = True
+            elif name == "force-rf64-format":
+                o.force_rf64 = True
+            elif name == "force-wave64-format":
+                o.force_w64 = True
+            elif name == "residual-text":
+                o.residual_text = True
+            elif name == "residual-gnuplot":
+                o.residual_gnuplot = True
+            elif name == "no-ogg":
+                o.ogg = False
+            elif name in ("no-verify", "no-lax"):
+                setattr(o, "verify" if name == "no-verify" else "lax", False)
+            else:
+                raise CLIError(f"unknown option --{name}")
+        else:
+            # short options, possibly clustered
+            j = 1
+            while j < len(a):
+                c = a[j]
+                if c.isdigit():
+                    o.level = int(c)
+                elif c == "d":
+                    o.mode = "decode"
+                elif c == "t":
+                    o.mode = "test"
+                elif c == "a":
+                    o.mode = "analyze"
+                elif c == "c":
+                    o.to_stdout = True
+                elif c == "s":
+                    o.verbosity = 1
+                elif c == "f":
+                    o.force = True
+                elif c == "m":
+                    o.mid_side = True
+                elif c == "M":
+                    o.adaptive_mid_side = True
+                elif c == "e":
+                    o.exhaustive = True
+                elif c == "E":
+                    o.escape_coding = True
+                elif c == "p":
+                    o.qlp_prec_search = True
+                elif c == "V":
+                    o.verify = True
+                elif c == "F":
+                    o.decode_through_errors = True
+                elif c == "h":
+                    print(USAGE)
+                    sys.exit(0)
+                elif c == "v":
+                    print(f"flac_tpu {VERSION}")
+                    sys.exit(0)
+                elif c in "oblqrASTP":
+                    # short options with a required argument
+                    rest = a[j + 1 :]
+                    argval = rest if rest else need_arg("-" + c)
+                    if c == "o":
+                        o.output_name = argval
+                    elif c == "b":
+                        o.blocksize = int(argval)
+                    elif c == "l":
+                        o.max_lpc_order = int(argval)
+                    elif c == "q":
+                        o.qlp_precision = int(argval)
+                    elif c == "r":
+                        o.partition_orders = _parse_partition_order(argval)
+                    elif c == "A":
+                        o.apodizations = _parse_apodization(argval)
+                    elif c == "S":
+                        if argval == "-":
+                            o.seektable_spec = ""
+                        else:
+                            o.seektable_spec = ((o.seektable_spec + ";")
+                                                if o.seektable_spec else "") + argval
+                    elif c == "T":
+                        o.tags.append(argval)
+                    elif c == "P":
+                        o.padding = 0 if argval == "-" else int(argval)
+                    j = len(a)
+                    break
+                else:
+                    raise CLIError(f"unknown option -{c}")
+                j += 1
+        i += 1
+    return o
+
+
+def _parse_partition_order(s: str) -> tuple[int, int]:
+    if "," in s:
+        lo, hi = s.split(",", 1)
+        return int(lo), int(hi)
+    return 0, int(s)
+
+
+def _parse_apodization(s: str) -> tuple:
+    """"tukey(0.5);hann;..." — stream_encoder.c:1526-1595; cap 32 windows."""
+    from flac_tpu.dsp.windows import parse_apodization_spec
+    return parse_apodization_spec(s)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _read_input(path: str, o: Options) -> tuple[AudioBuffer, str]:
+    if path == "-":
+        data = sys.stdin.buffer.read()
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
+    if o.input_size:
+        data = data[: o.input_size]
+    kind = "raw" if o.force_raw else sniff_format(data)
+    if kind in ("wav", "rf64"):
+        return parse_wav(data), kind
+    if kind == "w64":
+        return parse_w64(data), kind
+    if kind == "aiff":
+        return parse_aiff(data), kind
+    if kind == "flac":
+        from flac_tpu.decode.stream import decode_bytes_device
+        pcm, si, _ = decode_bytes_device(data)
+        return AudioBuffer(samples=pcm, sample_rate=si.sample_rate,
+                           bits_per_sample=si.bits_per_sample), kind
+    if kind == "ogg":
+        from flac_tpu.ogg import decode_ogg_flac
+        pcm, si, _meta = decode_ogg_flac(data)
+        return AudioBuffer(samples=pcm, sample_rate=si.sample_rate,
+                           bits_per_sample=si.bits_per_sample), kind
+    if kind == "raw":
+        if not (o.raw_channels and o.raw_bps and o.raw_rate):
+            raise CLIError("raw input requires --channels, --bps and --sample-rate")
+        return parse_raw(data, channels=o.raw_channels, bits_per_sample=o.raw_bps,
+                         sample_rate=o.raw_rate,
+                         is_big_endian=o.raw_endian == "big",
+                         is_unsigned=o.raw_sign == "unsigned"), kind
+    raise CLIError(f"unsupported input format {kind}")
+
+
+def _default_outname(path: str, o: Options) -> str:
+    base = os.path.basename(path)
+    stem = base.rsplit(".", 1)[0] if "." in base else base
+    d = os.path.dirname(path)
+    if o.mode == "encode":
+        ext = ".oga" if o.ogg else ".flac"
+    elif o.force_aiff:
+        ext = ".aiff"
+    elif o.force_w64:
+        ext = ".w64"
+    elif o.force_raw:
+        ext = ".raw"
+    else:
+        ext = ".wav"
+    return os.path.join(d, stem + ext)
+
+
+def _build_metadata(o: Options, buf: AudioBuffer, total: int, kind: str):
+    from flac_tpu.grabbag import (
+        cuesheet_parse,
+        picture_from_specification,
+        seektable_from_specification,
+    )
+    from flac_tpu.metadata import (
+        Application,
+        Padding,
+        SeekTable,
+        VorbisComment,
+    )
+
+    blocks = []
+    if o.tags:
+        blocks.append(VorbisComment(vendor_string="", comments=list(o.tags)))
+    cuesheet = None
+    if o.cuesheet_file:
+        with open(o.cuesheet_file, encoding="utf-8") as f:
+            text = f.read()
+        is_cdda = buf.sample_rate == 44100
+        cuesheet = cuesheet_parse(text, buf.sample_rate, is_cdda, total)
+        blocks.append(cuesheet)
+    for spec in o.picture_specs:
+        blocks.append(picture_from_specification(spec))
+    seekpoints = None
+    if o.seektable_spec is None:
+        # default: one seekpoint every 10 seconds (the flac CLI default -S 10s)
+        spec = "10s"
+    else:
+        spec = o.seektable_spec
+    if spec:
+        points, _ = seektable_from_specification(spec, total, buf.sample_rate)
+        if points:
+            # the StreamEncoder adopts a user-supplied SEEKTABLE and fills it
+            # in during writes, so don't also pass a seekpoints list
+            blocks.append(SeekTable(points=points))
+    if o.keep_foreign and buf.foreign_chunks:
+        app_id = {"aiff": b"aiff", "wav": b"riff", "rf64": b"riff",
+                  "w64": b"w64 "}.get(kind)
+        if app_id:
+            for _cid, chunk_bytes in buf.foreign_chunks:
+                blocks.append(Application(app_id=app_id, data=chunk_bytes))
+    if o.padding is None:
+        # FLAC_ENCODE__DEFAULT_PADDING (encode.c:121,1986)
+        pad = 8192 if total // max(buf.sample_rate, 1) < 20 * 60 else 8192 * 8
+        blocks.append(Padding(length=pad))
+    elif o.padding > 0:
+        blocks.append(Padding(length=o.padding))
+    return blocks, seekpoints, cuesheet
+
+
+def encode_one(path: str, o: Options) -> int:
+    from flac_tpu.cli.specs import parse_cue, resolve_cue, resolve_skip_until
+    from flac_tpu.encode.encoder import encode_file
+
+    buf, kind = _read_input(path, o)
+    total = buf.nsamples
+    skip, until = resolve_skip_until(o.skip, o.until, buf.sample_rate, total)
+    sig = buf.samples[skip:until]
+    blocks, seekpoints, _ = _build_metadata(o, buf, len(sig), kind)
+
+    overrides: dict = {}
+    if o.mid_side is not None:
+        overrides["do_mid_side"] = o.mid_side
+        if not o.mid_side:
+            overrides["loose_mid_side"] = False
+    if o.adaptive_mid_side is not None:
+        overrides["loose_mid_side"] = o.adaptive_mid_side
+        if o.adaptive_mid_side:
+            overrides["do_mid_side"] = True
+    if o.max_lpc_order is not None:
+        overrides["max_lpc_order"] = o.max_lpc_order
+    if o.qlp_precision is not None:
+        overrides["qlp_coeff_precision"] = o.qlp_precision
+    if o.qlp_prec_search is not None:
+        overrides["do_qlp_coeff_prec_search"] = o.qlp_prec_search
+    if o.exhaustive is not None:
+        overrides["do_exhaustive_model_search"] = o.exhaustive
+    if o.escape_coding is not None:
+        overrides["do_escape_coding"] = o.escape_coding
+    if o.partition_orders is not None:
+        overrides["min_partition_order"] = o.partition_orders[0]
+        overrides["max_partition_order"] = o.partition_orders[1]
+    if o.apodizations is not None:
+        overrides["apodizations"] = o.apodizations
+    if o.lax:
+        overrides["streamable_subset"] = False
+    if o.disable_constant:
+        overrides["disable_constant_subframes"] = True
+    if o.disable_fixed:
+        overrides["disable_fixed_subframes"] = True
+    if o.disable_verbatim:
+        overrides["disable_verbatim_subframes"] = True
+
+    out_path = o.output_name or _default_outname(path, o)
+    if o.to_stdout:
+        import tempfile
+        fd, out_path = tempfile.mkstemp(suffix=".flac")
+        os.close(fd)
+    elif os.path.exists(out_path) and not o.force and os.path.abspath(out_path) != os.path.abspath(path):
+        raise CLIError(f"output file {out_path} exists; use -f to override")
+
+    if o.ogg:
+        from flac_tpu.ogg import encode_ogg_flac
+        data = encode_ogg_flac(sig, buf.sample_rate, buf.bits_per_sample,
+                               level=o.level, blocksize=o.blocksize,
+                               metadata=blocks, verify=o.verify, **overrides)
+        with open(out_path, "wb") as f:
+            f.write(data)
+        stats_bytes = len(data)
+    else:
+        stats = encode_file(sig, buf.sample_rate, buf.bits_per_sample, out_path,
+                            level=o.level, blocksize=o.blocksize, metadata=blocks,
+                            seekpoints=seekpoints, verify=o.verify,
+                            do_md5=o.do_md5, **overrides)
+        stats_bytes = stats.bytes_written
+
+    if o.to_stdout:
+        with open(out_path, "rb") as f:
+            sys.stdout.buffer.write(f.read())
+        os.unlink(out_path)
+    ratio = stats_bytes / max(sig.size * ((buf.bits_per_sample + 7) // 8), 1)
+    o.say(2, f"{os.path.basename(path)}: wrote {stats_bytes} bytes, ratio={ratio:.3f}")
+    if o.delete_input and not o.to_stdout and path != "-":
+        os.unlink(path)
+    return 0
+
+
+def _decode_window(o: Options, data: bytes):
+    """Decode with --skip/--until/--cue applied; returns (pcm, streaminfo)."""
+    from flac_tpu.cli.specs import parse_cue, resolve_cue, resolve_skip_until
+    from flac_tpu.decode.host_decoder import HostDecoder, decode_bytes
+    from flac_tpu.decode.stream import decode_bytes_device
+    from flac_tpu.metadata import CueSheet
+
+    if o.cue or o.skip or o.until:
+        from flac_tpu.decode.seek import SeekableDecoder
+        dec = SeekableDecoder(data)
+        si = dec.streaminfo
+        total = si.total_samples
+        if o.cue:
+            cs = next((b for b in dec.metadata if isinstance(b, CueSheet)), None)
+            if cs is None:
+                raise CLIError("--cue requires a CUESHEET block in the stream")
+            skip, until = resolve_cue(parse_cue(o.cue), cs, total)
+        else:
+            skip, until = resolve_skip_until(o.skip, o.until, si.sample_rate, total)
+        pcm = dec.decode_range(skip, until - skip)
+        return pcm, si
+    if o.decode_through_errors:
+        pcm, si, _frames = decode_bytes(data, check_md5=True, continue_on_error=True)
+        return pcm, si
+    pcm, si, _info = decode_bytes_device(data)
+    return pcm, si
+
+
+def decode_one(path: str, o: Options) -> int:
+    if path == "-":
+        data = sys.stdin.buffer.read()
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
+    if sniff_format(data) == "ogg":
+        from flac_tpu.ogg import decode_ogg_flac
+        pcm, si, _ = decode_ogg_flac(data)
+    else:
+        pcm, si = _decode_window(o, data)
+    buf = AudioBuffer(samples=pcm, sample_rate=si.sample_rate,
+                      bits_per_sample=si.bits_per_sample)
+    if o.force_raw:
+        out = raw_bytes(buf, is_big_endian=o.raw_endian == "big",
+                        is_unsigned=o.raw_sign == "unsigned")
+    elif o.force_aiff:
+        out = aiff_bytes(buf)
+    elif o.force_w64:
+        out = w64_bytes(buf)
+    else:
+        out = wav_bytes(buf)
+    if o.to_stdout:
+        sys.stdout.buffer.write(out)
+    else:
+        out_path = o.output_name or _default_outname(path, o)
+        if os.path.exists(out_path) and not o.force:
+            raise CLIError(f"output file {out_path} exists; use -f to override")
+        with open(out_path, "wb") as f:
+            f.write(out)
+        o.say(2, f"{os.path.basename(path)}: done")
+    if o.delete_input and path != "-":
+        os.unlink(path)
+    return 0
+
+
+def test_one(path: str, o: Options) -> int:
+    from flac_tpu.decode.host_decoder import DecodeError
+    from flac_tpu.decode.stream import decode_bytes_device
+
+    with open(path, "rb") as f:
+        data = f.read()
+    try:
+        if sniff_format(data) == "ogg":
+            from flac_tpu.ogg import decode_ogg_flac
+            decode_ogg_flac(data)
+        else:
+            decode_bytes_device(data)
+    except Exception as e:  # CRC/MD5/parse failures
+        o.say(1, f"{os.path.basename(path)}: FAILED ({e})")
+        return 1
+    o.say(2, f"{os.path.basename(path)}: ok")
+    return 0
+
+
+def analyze_one(path: str, o: Options) -> int:
+    from flac_tpu.cli.analyze import analyze_frame
+    from flac_tpu.decode.host_decoder import HostDecoder
+
+    with open(path, "rb") as f:
+        data = f.read()
+    dec = HostDecoder(data, check_md5=False, keep_residuals=o.residual_text)
+    if o.to_stdout:
+        out = sys.stdout
+    else:
+        out_path = o.output_name or (path.rsplit(".", 1)[0] + ".ana")
+        out = open(out_path, "w")
+    try:
+        pos = dec.audio_offset
+        fno = 0
+        # The reference's analysis offsets derive from a decode_position that
+        # is updated only at the STREAMINFO metadata callback (decode.c:244,
+        # :1078-1080, :1257-1262), so frame 0's printed offset is the end of
+        # the STREAMINFO block and its bit count includes any following
+        # metadata bytes. Mirror that exactly so .ana files diff clean.
+        from flac_tpu.decode.host_decoder import skip_id3v2
+        from flac_tpu.metadata import parse_block
+        stream_start = skip_id3v2(data, 0)
+        _si, decode_position = parse_block(data, stream_start + 4)
+        while pos < len(data) - 2:
+            try:
+                _pcm, frame = dec.decode_frame_at(pos)
+            except Exception:
+                break
+            frame_end = frame.offset + frame.size
+            frame.offset = decode_position
+            frame.size = frame_end - decode_position
+            decode_position = frame_end
+            analyze_frame(frame, fno, out, residual_text=o.residual_text)
+            pos = frame_end
+            fno += 1
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    o.say(2, f"{os.path.basename(path)}: done")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    try:
+        o = parse_args(argv)
+        if not o.files:
+            raise CLIError("no input files (see --help)")
+        if len(o.files) > 1 and o.output_name:
+            raise CLIError("-o cannot be used with multiple files")
+        rc = 0
+        for path in o.files:
+            try:
+                if o.mode == "encode":
+                    rc |= encode_one(path, o)
+                elif o.mode == "decode":
+                    rc |= decode_one(path, o)
+                elif o.mode == "test":
+                    rc |= test_one(path, o)
+                else:
+                    rc |= analyze_one(path, o)
+            except (CLIError, OSError, ValueError) as e:
+                o.say(1, f"{path}: ERROR: {e}")
+                rc = 1
+        return rc
+    except CLIError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

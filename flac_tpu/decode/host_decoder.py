@@ -56,10 +56,15 @@ class SubframeInfo:
     order: int
     wasted_bits: int
     partition_order: int = 0
-    rice_params: list = field(default_factory=list)
+    rice_params: list = field(default_factory=list)  # escaped partitions hold -1
+    raw_bits: list = field(default_factory=list)  # per partition; 0 unless escaped
     qlp_precision: int = 0
     quantization_level: int = 0
     qlp_coeff: list = field(default_factory=list)
+    warmup: list = field(default_factory=list)
+    constant_value: int = 0
+    is_rice2: bool = False
+    residual: "np.ndarray | None" = None  # kept when keep_residuals is set
 
 
 def skip_id3v2(data: bytes, pos: int) -> int:
@@ -76,10 +81,12 @@ class HostDecoder:
     """Decode a whole FLAC stream held in memory."""
 
     def __init__(self, data: bytes, check_md5: bool = True,
-                 continue_on_error: bool = False) -> None:
+                 continue_on_error: bool = False,
+                 keep_residuals: bool = False) -> None:
         self.data = bytes(data)
         self.check_md5 = check_md5
         self.continue_on_error = continue_on_error
+        self.keep_residuals = keep_residuals
         self.errors: list[str] = []
         pos = skip_id3v2(self.data, 0)
         if self.data[pos : pos + 4] != C.STREAM_SYNC_STRING:
@@ -167,6 +174,7 @@ class HostDecoder:
         if stype == 0:
             info = SubframeInfo(C.SUBFRAME_TYPE_CONSTANT, 0, wasted)
             val = _sign_extend(r.read_bits(ebps), ebps)
+            info.constant_value = val
             x = np.full(blocksize, val, np.int64)
         elif stype == 1:
             info = SubframeInfo(C.SUBFRAME_TYPE_VERBATIM, 0, wasted)
@@ -178,12 +186,14 @@ class HostDecoder:
                 raise DecodeError("invalid fixed order")
             info = SubframeInfo(C.SUBFRAME_TYPE_FIXED, order, wasted)
             warmup = [_sign_extend(r.read_bits(ebps), ebps) for _ in range(order)]
+            info.warmup = warmup
             res = self.read_residual(r, blocksize, order, info)
             x = _fixed_restore_np(res, warmup, order)
         elif stype & 0b100000:
             order = (stype & 0b011111) + 1
             info = SubframeInfo(C.SUBFRAME_TYPE_LPC, order, wasted)
             warmup = [_sign_extend(r.read_bits(ebps), ebps) for _ in range(order)]
+            info.warmup = warmup
             prec = r.read_bits(4) + 1
             if prec == 16:
                 raise DecodeError("invalid qlp precision")
@@ -209,6 +219,7 @@ class HostDecoder:
         method = r.read_bits(2)
         if method > 1:
             raise DecodeError("reserved entropy coding method")
+        info.is_rice2 = method == 1
         plen = 5 if method == 1 else 4
         pesc = 31 if method == 1 else 15
         po = r.read_bits(4)
@@ -223,15 +234,20 @@ class HostDecoder:
         for p in range(nparts):
             n = (blocksize >> po) - (order if p == 0 else 0)
             param = r.read_bits(plen)
-            info.rice_params.append(param)
             if param == pesc:
                 raw = r.read_bits(5)
+                info.rice_params.append(-1)
+                info.raw_bits.append(raw)
                 for i in range(n):
                     out[pos + i] = _sign_extend(r.read_bits(raw), raw) if raw else 0
             else:
+                info.rice_params.append(param)
+                info.raw_bits.append(0)
                 for i in range(n):
                     out[pos + i] = r.read_rice_signed(param)
             pos += n
+        if self.keep_residuals:
+            info.residual = out.copy()
         return out
 
     # -- stream-level decoding ------------------------------------------------

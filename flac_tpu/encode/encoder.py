@@ -271,7 +271,7 @@ def encode_file(in_samples: np.ndarray, sample_rate: int, bits_per_sample: int,
                 out_path: str, level: int = 5, blocksize: int | None = None,
                 metadata: list[MetadataBlock] | None = None,
                 seekpoints: list[int] | None = None, batch_frames: int = 64,
-                verify: bool = False, **overrides) -> EncodeStats:
+                verify: bool = False, do_md5: bool = True, **overrides) -> EncodeStats:
     """Encode an int32 [n, channels] PCM array to a FLAC file."""
     if in_samples.ndim == 1:
         in_samples = in_samples[:, None]
@@ -281,7 +281,7 @@ def encode_file(in_samples: np.ndarray, sample_rate: int, bits_per_sample: int,
         enc = StreamEncoder(cfg, f, metadata=metadata, seekpoints=seekpoints,
                             batch_frames=batch_frames,
                             total_samples_estimate=in_samples.shape[0],
-                            verify=verify)
+                            verify=verify, do_md5=do_md5)
         enc.process(in_samples)
         enc.finish()
     return enc.stats

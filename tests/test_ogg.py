@@ -1,0 +1,136 @@
+"""Ogg FLAC tests: page CRC, packet assembly across continued pages, mapping
+round trip, CLI --ogg mode. (The locally-built oracle has no libogg, so
+coverage is self-consistent round trips plus spec-derived vectors.)"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_signal
+
+from flac_tpu.containers import AudioBuffer, write_wav
+from flac_tpu.ogg import (
+    OggError,
+    build_page,
+    decode_ogg_flac,
+    encode_ogg_flac,
+    extract_packets,
+    flac_stream_from_ogg,
+    ogg_crc,
+    ogg_from_flac_stream,
+    parse_pages,
+)
+
+
+class TestPageLayer:
+    def test_crc_known_vector(self):
+        # Ogg CRC of "OggS" with the spec polynomial/reflection conventions:
+        # independently computed with a bitwise non-reflected CRC-32/MPEG-style
+        # routine (init 0, xorout 0)
+        def bitwise(data):
+            crc = 0
+            for byte in data:
+                crc ^= byte << 24
+                for _ in range(8):
+                    crc = ((crc << 1) ^ 0x04C11DB7 if crc & 0x80000000
+                           else crc << 1) & 0xFFFFFFFF
+            return crc
+        for v in (b"OggS", b"", b"\x00", bytes(range(256))):
+            assert ogg_crc(v) == bitwise(v)
+
+    def test_page_roundtrip(self):
+        page = build_page(7, 0, 1234, [b"hello", b"world" * 100], bos=True)
+        [(htype, granule, serial, seqno, segs)] = list(parse_pages(page))
+        assert htype == 2 and granule == 1234 and serial == 7 and seqno == 0
+        packets = extract_packets(page)
+        assert packets == [b"hello", b"world" * 100]
+
+    def test_corrupt_page_crc_detected(self):
+        page = bytearray(build_page(7, 0, 0, [b"data"]))
+        page[-1] ^= 1
+        with pytest.raises(OggError):
+            list(parse_pages(bytes(page)))
+
+    def test_large_packet_spans_pages(self):
+        big = bytes(np.random.default_rng(0).integers(0, 256, 200_000, np.uint8))
+        from flac_tpu.ogg import _paginate_packet
+        pages, _ = _paginate_packet(big, 3, 0, 42)
+        assert len(pages) > 1
+        stream = b"".join(pages)
+        infos = list(parse_pages(stream))
+        assert infos[0][0] & 1 == 0 and all(h[0] & 1 for h in infos[1:])
+        assert infos[-1][1] == 42  # granule on final page
+        assert infos[0][1] == (1 << 64) - 1  # -1 on continuation-start pages
+        assert extract_packets(stream) == [big]
+
+
+class TestMapping:
+    def _sig(self, n=4096 * 2 + 333):
+        return make_signal(n, 2, 16, kind="quiet", seed=17)
+
+    def test_roundtrip(self):
+        sig = self._sig()
+        ogg = encode_ogg_flac(sig, 44100, 16, level=5)
+        assert ogg[:4] == b"OggS"
+        pcm, si, blocks = decode_ogg_flac(ogg)
+        np.testing.assert_array_equal(pcm, sig)
+        assert si.sample_rate == 44100
+
+    def test_metadata_carried(self):
+        from flac_tpu.metadata import Padding, VorbisComment
+        sig = self._sig(2000)
+        ogg = encode_ogg_flac(sig, 44100, 16, level=1,
+                              metadata=[VorbisComment(vendor_string="v",
+                                                      comments=["T=x"]),
+                                        Padding(length=64)])
+        pcm, si, blocks = decode_ogg_flac(ogg)
+        np.testing.assert_array_equal(pcm, sig)
+        vc = next(b for b in blocks if isinstance(b, VorbisComment))
+        assert "T=x" in vc.comments
+
+    def test_wrap_unwrap_identity(self, tmp_path):
+        """ogg(flac) then unwrap must reproduce the exact native stream."""
+        from flac_tpu.encode.encoder import encode_file
+        sig = self._sig()
+        p = tmp_path / "x.flac"
+        encode_file(sig, 44100, 16, str(p), level=3)
+        native = p.read_bytes()
+        round_tripped = flac_stream_from_ogg(ogg_from_flac_stream(native))
+        assert round_tripped == native
+
+    def test_mapping_header_fields(self):
+        sig = self._sig(1000)
+        ogg = encode_ogg_flac(sig, 44100, 16, level=0)
+        packets = extract_packets(ogg)
+        p0 = packets[0]
+        assert p0[0] == 0x7F and p0[1:5] == b"FLAC"
+        assert p0[5] == 1 and p0[6] == 0  # mapping version 1.0
+        nheaders = int.from_bytes(p0[7:9], "big")
+        assert nheaders == len(packets) - sum(
+            1 for p in packets if len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xFE) == 0xF8)
+        assert p0[9:13] == b"fLaC"
+
+    def test_granule_positions(self):
+        sig = self._sig(4096 + 100)
+        ogg = encode_ogg_flac(sig, 44100, 16, level=0, blocksize=4096)
+        granules = [g for h, g, s, q, segs in parse_pages(ogg)
+                    if g not in (0, (1 << 64) - 1)]
+        assert granules[-1] == 4096 + 100
+        assert granules[0] == 4096
+
+
+class TestCLIOgg:
+    def test_flac_cli_ogg(self, tmp_path):
+        from flac_tpu.cli.flac import main
+        sig = make_signal(4096 + 55, 2, 16, kind="sine", seed=4)
+        wav = tmp_path / "o.wav"
+        write_wav(str(wav), AudioBuffer(samples=sig, sample_rate=44100,
+                                        bits_per_sample=16))
+        oga = tmp_path / "o.oga"
+        assert main(["--totally-silent", "--ogg", "-5", "-f",
+                     "-o", str(oga), str(wav)]) == 0
+        assert oga.read_bytes()[:4] == b"OggS"
+        assert main(["--totally-silent", "-t", str(oga)]) == 0
+        back = tmp_path / "b.wav"
+        assert main(["--totally-silent", "-d", "-f", "-o", str(back), str(oga)]) == 0
+        from flac_tpu.containers import read_wav
+        np.testing.assert_array_equal(read_wav(str(back)).samples, sig)

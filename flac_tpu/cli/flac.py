@@ -92,6 +92,9 @@ class Options:
         self.force_aiff = False
         self.force_rf64 = False
         self.force_w64 = False
+        # replaygain
+        self.replay_gain = False
+        self.apply_rg: dict | None = None
         # analysis
         self.residual_text = False
         self.residual_gnuplot = False
@@ -234,6 +237,10 @@ def parse_args(argv: list[str]) -> Options:
                 o.picture_specs.append(arg())
             elif name == "keep-foreign-metadata":
                 o.keep_foreign = True
+            elif name == "replay-gain":
+                o.replay_gain = True
+            elif name == "apply-replaygain-which-is-not-lossless":
+                o.apply_rg = _parse_rg_spec(val if val is not None else "")
             elif name == "skip":
                 o.skip = arg()
             elif name == "until":
@@ -342,6 +349,35 @@ def parse_args(argv: list[str]) -> Options:
                 j += 1
         i += 1
     return o
+
+
+def _parse_rg_spec(s: str) -> dict:
+    """[preamp-dB][a|t][l|L][n{0..3}] (main.c:697-721). Defaults: track gain,
+    no limiter, no noise shaping."""
+    import re
+    spec = dict(preamp=0.0, album=False, limiter="none", noise_shaping=0)
+    m = re.match(r"[-+]?\d*\.?\d*", s)
+    if m and m.group(0) not in ("", "+", "-"):
+        spec["preamp"] = float(m.group(0))
+    rest = s[m.end():] if m else s
+    i = 0
+    while i < len(rest):
+        c = rest[i]
+        if c == "a":
+            spec["album"] = True
+        elif c == "t":
+            spec["album"] = False
+        elif c == "l":
+            spec["limiter"] = "peak"
+        elif c == "L":
+            spec["limiter"] = "hard"
+        elif c == "n" and i + 1 < len(rest) and rest[i + 1] in "0123":
+            spec["noise_shaping"] = int(rest[i + 1])
+            i += 1
+        else:
+            raise CLIError(f"bad --apply-replaygain specification {s!r}")
+        i += 1
+    return spec
 
 
 def _parse_partition_order(s: str) -> tuple[int, int]:
@@ -580,6 +616,21 @@ def decode_one(path: str, o: Options) -> int:
         pcm, si, _ = decode_ogg_flac(data)
     else:
         pcm, si = _decode_window(o, data)
+    if o.apply_rg is not None:
+        from flac_tpu.replaygain import apply_gain, load_tags
+        tags = load_tags(path, album=o.apply_rg["album"]) if path != "-" else None
+        if tags is None:
+            raise CLIError("no ReplayGain tags found (run --replay-gain / "
+                           "metaflac --add-replay-gain first)")
+        gain, peak = tags
+        scale_db = gain + o.apply_rg["preamp"]
+        if o.apply_rg["limiter"] == "peak" and peak > 0:
+            # RGSS_LIMIT__PEAK: never scale above 1/peak (decode.c)
+            import math
+            scale_db = min(scale_db, -20.0 * math.log10(peak))
+        pcm = apply_gain(pcm, scale_db, si.bits_per_sample,
+                         hard_limit=o.apply_rg["limiter"] == "hard",
+                         dither=o.apply_rg["noise_shaping"] > 0)
     buf = AudioBuffer(samples=pcm, sample_rate=si.sample_rate,
                       bits_per_sample=si.bits_per_sample)
     if o.force_raw:
@@ -676,10 +727,14 @@ def main(argv: list[str] | None = None) -> int:
         if len(o.files) > 1 and o.output_name:
             raise CLIError("-o cannot be used with multiple files")
         rc = 0
+        encoded_outputs: list[str] = []
         for path in o.files:
             try:
                 if o.mode == "encode":
                     rc |= encode_one(path, o)
+                    if o.replay_gain and not o.to_stdout:
+                        encoded_outputs.append(o.output_name or
+                                               _default_outname(path, o))
                 elif o.mode == "decode":
                     rc |= decode_one(path, o)
                 elif o.mode == "test":
@@ -689,6 +744,10 @@ def main(argv: list[str] | None = None) -> int:
             except (CLIError, OSError, ValueError) as e:
                 o.say(1, f"{path}: ERROR: {e}")
                 rc = 1
+        if o.mode == "encode" and o.replay_gain and encoded_outputs and rc == 0:
+            # all files of one invocation form one album (main.c:511-518)
+            from flac_tpu.replaygain import add_replay_gain_tags
+            add_replay_gain_tags(encoded_outputs)
         return rc
     except CLIError as e:
         print(f"ERROR: {e}", file=sys.stderr)

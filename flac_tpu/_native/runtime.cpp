@@ -1,0 +1,340 @@
+// Native host runtime for flac_tpu — the C++ analog of the reference's
+// hand-written kernels on the *host* side of the framework (the device side
+// is JAX/XLA). Covers the sequential hot loops that back the robustness/
+// fallback decoder, seek reads, analysis mode, and the MD5 stream contract:
+//
+//   - Rice residual block decode   (bitreader.c:775 hot loop)
+//   - raw fixed-width signed reads (verbatim subframes, escaped partitions)
+//   - unary + UTF-8 coded numbers  (bitreader.c:999,1054)
+//   - LPC / fixed restore          (lpc.c:795, fixed.c:395)
+//   - CRC-8 / CRC-16               (crc.c)
+//   - frame sync scan              (stream_decoder.c:1941)
+//   - the FLAC MD5 variant         (md5.c:23-33 big-endian word loading)
+//
+// Build: g++ -O3 -shared -fPIC (see flac_tpu/_native/__init__.py).
+// Exposed as a plain C ABI consumed via ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Bit reading
+// ---------------------------------------------------------------------------
+
+struct BitCursor {
+    const uint8_t* data;
+    size_t nbytes;
+    size_t bitpos;
+};
+
+static inline int read_bit(BitCursor* c) {
+    size_t byte = c->bitpos >> 3;
+    if (byte >= c->nbytes) return -1;
+    int bit = (c->data[byte] >> (7 - (c->bitpos & 7))) & 1;
+    c->bitpos++;
+    return bit;
+}
+
+static inline int64_t read_bits(BitCursor* c, unsigned n) {
+    // MSB-first read of up to 57 bits via a 64-bit window
+    if (n == 0) return 0;
+    size_t byte = c->bitpos >> 3;
+    unsigned off = (unsigned)(c->bitpos & 7);
+    if (((c->bitpos + n + 7) >> 3) > c->nbytes) return -1;
+    uint64_t window = 0;
+    unsigned avail = 0;
+    while (avail < off + n) {
+        window = (window << 8) | (byte < c->nbytes ? c->data[byte] : 0);
+        byte++;
+        avail += 8;
+    }
+    c->bitpos += n;
+    return (int64_t)((window >> (avail - off - n)) & ((n == 64) ? ~0ULL : ((1ULL << n) - 1)));
+}
+
+static inline int64_t read_unary(BitCursor* c) {
+    int64_t q = 0;
+    size_t byte = c->bitpos >> 3;
+    unsigned off = (unsigned)(c->bitpos & 7);
+    while (byte < c->nbytes) {
+        uint8_t window = (uint8_t)(c->data[byte] & (0xFFu >> off));
+        if (window == 0) {
+            q += 8 - off;
+            c->bitpos += 8 - off;
+            byte++;
+            off = 0;
+            continue;
+        }
+        // index of highest set bit from the MSB side
+        unsigned lead = (unsigned)__builtin_clz((unsigned)window) - 24u;
+        q += lead - off;
+        c->bitpos += lead - off + 1;
+        return q;
+    }
+    return -1;
+}
+
+// Decode `n` Rice-coded signed values with parameter `param` starting at
+// absolute bit position *bitpos. Returns 0 on success, -1 on overrun;
+// updates *bitpos.
+int flacn_rice_read_block(const uint8_t* data, size_t nbytes, uint64_t* bitpos,
+                          int64_t* out, size_t n, unsigned param) {
+    BitCursor c{data, nbytes, (size_t)*bitpos};
+    for (size_t i = 0; i < n; i++) {
+        int64_t q = read_unary(&c);
+        if (q < 0) return -1;
+        uint64_t folded;
+        if (param) {
+            int64_t low = read_bits(&c, param);
+            if (low < 0) return -1;
+            folded = ((uint64_t)q << param) | (uint64_t)low;
+        } else {
+            folded = (uint64_t)q;
+        }
+        out[i] = (int64_t)(folded >> 1) ^ -(int64_t)(folded & 1);
+    }
+    *bitpos = c.bitpos;
+    return 0;
+}
+
+// Read `n` fixed-width (`width` bits) two's-complement values.
+int flacn_read_signed_array(const uint8_t* data, size_t nbytes, uint64_t* bitpos,
+                            int64_t* out, size_t n, unsigned width) {
+    BitCursor c{data, nbytes, (size_t)*bitpos};
+    const int64_t half = width ? (1LL << (width - 1)) : 0;
+    const int64_t full = width ? (1LL << width) : 0;
+    for (size_t i = 0; i < n; i++) {
+        if (width == 0) { out[i] = 0; continue; }
+        int64_t v = read_bits(&c, width);
+        if (v < 0 && width < 64) return -1;
+        out[i] = (v >= half) ? v - full : v;
+    }
+    *bitpos = c.bitpos;
+    return 0;
+}
+
+// UTF-8-style extended number (bitreader.c:999). Returns value or -1.
+int64_t flacn_read_utf8(const uint8_t* data, size_t nbytes, uint64_t* bitpos) {
+    BitCursor c{data, nbytes, (size_t)*bitpos};
+    int64_t b0 = read_bits(&c, 8);
+    if (b0 < 0) return -1;
+    unsigned nfollow = 0;
+    uint64_t v;
+    if ((b0 & 0x80) == 0) { v = (uint64_t)b0; }
+    else {
+        uint8_t mask = 0x40;
+        nfollow = 0;
+        while (b0 & mask) { nfollow++; mask >>= 1; }
+        if (nfollow == 0 || nfollow > 6) return -1;
+        v = (uint64_t)(b0 & (0x3F >> nfollow));
+        for (unsigned k = 0; k < nfollow; k++) {
+            int64_t bk = read_bits(&c, 8);
+            if (bk < 0 || (bk & 0xC0) != 0x80) return -1;
+            v = (v << 6) | (uint64_t)(bk & 0x3F);
+        }
+    }
+    *bitpos = c.bitpos;
+    return (int64_t)v;
+}
+
+// ---------------------------------------------------------------------------
+// Predictor restore (decoder recurrences)
+// ---------------------------------------------------------------------------
+
+// out[order..order+n) = residual + (qlp · history) >> shift; out[0..order)
+// pre-filled with warmup by the caller (lpc.c:795 semantics, 64-bit path).
+void flacn_lpc_restore(const int64_t* residual, size_t n, const int32_t* qlp,
+                       unsigned order, int shift, int64_t* out) {
+    for (size_t t = 0; t < n; t++) {
+        int64_t acc = 0;
+        const int64_t* h = out + order + t;
+        for (unsigned j = 0; j < order; j++) acc += (int64_t)qlp[j] * h[-1 - (int)j];
+        out[order + t] = residual[t] + (acc >> shift);
+    }
+}
+
+void flacn_fixed_restore(const int64_t* residual, size_t n, unsigned order,
+                         int64_t* out) {
+    // polynomial predictors 0-4 (fixed.c:395)
+    switch (order) {
+    case 0:
+        memcpy(out, residual, n * sizeof(int64_t));
+        break;
+    case 1:
+        for (size_t t = 0; t < n; t++) out[1 + t] = residual[t] + out[t];
+        break;
+    case 2:
+        for (size_t t = 0; t < n; t++)
+            out[2 + t] = residual[t] + 2 * out[1 + t] - out[t];
+        break;
+    case 3:
+        for (size_t t = 0; t < n; t++)
+            out[3 + t] = residual[t] + 3 * out[2 + t] - 3 * out[1 + t] + out[t];
+        break;
+    case 4:
+        for (size_t t = 0; t < n; t++)
+            out[4 + t] = residual[t] + 4 * out[3 + t] - 6 * out[2 + t]
+                         + 4 * out[1 + t] - out[t];
+        break;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// CRC (crc.c polynomials)
+// ---------------------------------------------------------------------------
+
+static uint8_t crc8_table[256];
+static uint16_t crc16_table[256];
+static bool crc_init_done = false;
+
+static void crc_init() {
+    for (int i = 0; i < 256; i++) {
+        unsigned r8 = (unsigned)i;
+        for (int k = 0; k < 8; k++) r8 = (r8 << 1) ^ ((r8 & 0x80) ? 0x107 : 0);
+        crc8_table[i] = (uint8_t)r8;
+        unsigned r16 = (unsigned)i << 8;
+        for (int k = 0; k < 8; k++) r16 = (r16 << 1) ^ ((r16 & 0x8000) ? 0x18005 : 0);
+        crc16_table[i] = (uint16_t)r16;
+    }
+    crc_init_done = true;
+}
+
+uint8_t flacn_crc8(const uint8_t* data, size_t n) {
+    if (!crc_init_done) crc_init();
+    uint8_t crc = 0;
+    for (size_t i = 0; i < n; i++) crc = crc8_table[crc ^ data[i]];
+    return crc;
+}
+
+uint16_t flacn_crc16(const uint8_t* data, size_t n) {
+    if (!crc_init_done) crc_init();
+    uint16_t crc = 0;
+    for (size_t i = 0; i < n; i++)
+        crc = (uint16_t)((crc << 8) ^ crc16_table[(crc >> 8) ^ data[i]]);
+    return crc;
+}
+
+// ---------------------------------------------------------------------------
+// Frame sync scan (byte-aligned 0xFF 0xF8/0xF9)
+// ---------------------------------------------------------------------------
+
+int64_t flacn_find_sync(const uint8_t* data, size_t n, size_t from) {
+    for (size_t i = from; i + 1 < n; i++) {
+        if (data[i] == 0xFF && (data[i + 1] & 0xFE) == 0xF8) return (int64_t)i;
+    }
+    return -1;
+}
+
+// ---------------------------------------------------------------------------
+// FLAC MD5 variant: standard MD5 rounds, block data words loaded BIG-endian
+// (md5.c:23-33), 64-bit length trailer appended as two host-LE words, digest
+// serialized little-endian.
+// ---------------------------------------------------------------------------
+
+static inline uint32_t rotl32(uint32_t x, int s) { return (x << s) | (x >> (32 - s)); }
+
+static void md5_transform(uint32_t state[4], const uint32_t in[16]) {
+    static const uint32_t K[64] = {
+        0xd76aa478, 0xe8c7b756, 0x242070db, 0xc1bdceee, 0xf57c0faf, 0x4787c62a,
+        0xa8304613, 0xfd469501, 0x698098d8, 0x8b44f7af, 0xffff5bb1, 0x895cd7be,
+        0x6b901122, 0xfd987193, 0xa679438e, 0x49b40821, 0xf61e2562, 0xc040b340,
+        0x265e5a51, 0xe9b6c7aa, 0xd62f105d, 0x02441453, 0xd8a1e681, 0xe7d3fbc8,
+        0x21e1cde6, 0xc33707d6, 0xf4d50d87, 0x455a14ed, 0xa9e3e905, 0xfcefa3f8,
+        0x676f02d9, 0x8d2a4c8a, 0xfffa3942, 0x8771f681, 0x6d9d6122, 0xfde5380c,
+        0xa4beea44, 0x4bdecfa9, 0xf6bb4b60, 0xbebfbc70, 0x289b7ec6, 0xeaa127fa,
+        0xd4ef3085, 0x04881d05, 0xd9d4d039, 0xe6db99e5, 0x1fa27cf8, 0xc4ac5665,
+        0xf4292244, 0x432aff97, 0xab9423a7, 0xfc93a039, 0x655b59c3, 0x8f0ccc92,
+        0xffeff47d, 0x85845dd1, 0x6fa87e4f, 0xfe2ce6e0, 0xa3014314, 0x4e0811a1,
+        0xf7537e82, 0xbd3af235, 0x2ad7d2bb, 0xeb86d391};
+    static const int S[4][4] = {{7,12,17,22},{5,9,14,20},{4,11,16,23},{6,10,15,21}};
+    uint32_t a = state[0], b = state[1], c = state[2], d = state[3];
+    for (int i = 0; i < 64; i++) {
+        uint32_t f; int g;
+        if (i < 16)      { f = (b & c) | (~b & d);   g = i; }
+        else if (i < 32) { f = (d & b) | (~d & c);   g = (5 * i + 1) & 15; }
+        else if (i < 48) { f = b ^ c ^ d;            g = (3 * i + 5) & 15; }
+        else             { f = c ^ (b | ~d);         g = (7 * i) & 15; }
+        uint32_t tmp = d;
+        d = c; c = b;
+        b = b + rotl32(a + f + K[i] + in[g], S[i >> 4][i & 3]);
+        a = tmp;
+    }
+    state[0] += a; state[1] += b; state[2] += c; state[3] += d;
+}
+
+struct FlacMD5 {
+    uint32_t state[4];
+    uint64_t length;
+    uint8_t buffer[64];
+    size_t buffered;
+};
+
+void flacn_md5_init(FlacMD5* ctx) {
+    ctx->state[0] = 0x67452301; ctx->state[1] = 0xefcdab89;
+    ctx->state[2] = 0x98badcfe; ctx->state[3] = 0x10325476;
+    ctx->length = 0;
+    ctx->buffered = 0;
+}
+
+static void md5_block_be(FlacMD5* ctx, const uint8_t* p) {
+    uint32_t w[16];
+    for (int i = 0; i < 16; i++)
+        w[i] = ((uint32_t)p[4 * i] << 24) | ((uint32_t)p[4 * i + 1] << 16)
+             | ((uint32_t)p[4 * i + 2] << 8) | (uint32_t)p[4 * i + 3];
+    md5_transform(ctx->state, w);
+}
+
+void flacn_md5_update(FlacMD5* ctx, const uint8_t* data, size_t n) {
+    ctx->length += n;
+    if (ctx->buffered) {
+        size_t take = 64 - ctx->buffered;
+        if (take > n) take = n;
+        memcpy(ctx->buffer + ctx->buffered, data, take);
+        ctx->buffered += take;
+        data += take; n -= take;
+        if (ctx->buffered == 64) { md5_block_be(ctx, ctx->buffer); ctx->buffered = 0; }
+    }
+    while (n >= 64) { md5_block_be(ctx, data); data += 64; n -= 64; }
+    if (n) { memcpy(ctx->buffer, data, n); ctx->buffered = n; }
+}
+
+void flacn_md5_final(FlacMD5* ctx, uint8_t out[16]) {
+    uint8_t tail[64];
+    size_t used = ctx->buffered;
+    memcpy(tail, ctx->buffer, used);
+    tail[used++] = 0x80;
+    if (used > 56) {
+        memset(tail + used, 0, 64 - used);
+        md5_block_be(ctx, tail);
+        used = 0;
+    }
+    memset(tail + used, 0, 56 - used);
+    uint32_t w[16];
+    for (int i = 0; i < 14; i++)
+        w[i] = ((uint32_t)tail[4 * i] << 24) | ((uint32_t)tail[4 * i + 1] << 16)
+             | ((uint32_t)tail[4 * i + 2] << 8) | (uint32_t)tail[4 * i + 3];
+    uint64_t bits = ctx->length << 3;
+    w[14] = (uint32_t)(bits & 0xFFFFFFFFu);
+    w[15] = (uint32_t)(bits >> 32);
+    md5_transform(ctx->state, w);
+    for (int i = 0; i < 4; i++) {
+        out[4 * i] = (uint8_t)(ctx->state[i]);
+        out[4 * i + 1] = (uint8_t)(ctx->state[i] >> 8);
+        out[4 * i + 2] = (uint8_t)(ctx->state[i] >> 16);
+        out[4 * i + 3] = (uint8_t)(ctx->state[i] >> 24);
+    }
+}
+
+size_t flacn_md5_sizeof() { return sizeof(FlacMD5); }
+
+void flacn_md5_digest(const uint8_t* data, size_t n, uint8_t out[16]) {
+    FlacMD5 ctx;
+    flacn_md5_init(&ctx);
+    flacn_md5_update(&ctx, data, n);
+    flacn_md5_final(&ctx, out);
+}
+
+}  // extern "C"

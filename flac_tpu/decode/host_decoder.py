@@ -23,6 +23,13 @@ from flac_tpu.bitio import BitReader, utf8_decode
 from flac_tpu.md5 import MD5Context
 from flac_tpu.metadata import MetadataBlock, StreamInfo, parse_metadata
 
+try:  # native C++ host runtime (flac_tpu/_native/runtime.cpp); optional
+    from flac_tpu import _native
+    _HAVE_NATIVE = _native.available
+except Exception:  # pragma: no cover
+    _native = None
+    _HAVE_NATIVE = False
+
 BLOCKSIZE_FROM_CODE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608, 8: 256, 9: 512,
                        10: 1024, 11: 2048, 12: 4096, 13: 8192, 14: 16384, 15: 32768}
 SAMPLE_RATE_FROM_CODE = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
@@ -87,6 +94,7 @@ class HostDecoder:
         self.check_md5 = check_md5
         self.continue_on_error = continue_on_error
         self.keep_residuals = keep_residuals
+        self._nb = _native.NativeBytes(self.data) if _HAVE_NATIVE else None
         self.errors: list[str] = []
         pos = skip_id3v2(self.data, 0)
         if self.data[pos : pos + 4] != C.STREAM_SYNC_STRING:
@@ -178,8 +186,11 @@ class HostDecoder:
             x = np.full(blocksize, val, np.int64)
         elif stype == 1:
             info = SubframeInfo(C.SUBFRAME_TYPE_VERBATIM, 0, wasted)
-            x = np.array([_sign_extend(r.read_bits(ebps), ebps) for _ in range(blocksize)],
-                         np.int64)
+            if self._nb is not None:
+                x, r.pos = self._nb.read_signed_array(r.pos, blocksize, ebps)
+            else:
+                x = np.array([_sign_extend(r.read_bits(ebps), ebps)
+                              for _ in range(blocksize)], np.int64)
         elif (stype & 0b111000) == 0b001000:
             order = stype & 7
             if order > 4:
@@ -188,7 +199,8 @@ class HostDecoder:
             warmup = [_sign_extend(r.read_bits(ebps), ebps) for _ in range(order)]
             info.warmup = warmup
             res = self.read_residual(r, blocksize, order, info)
-            x = _fixed_restore_np(res, warmup, order)
+            x = (_native.fixed_restore(res, warmup, order) if self._nb is not None
+                 else _fixed_restore_np(res, warmup, order))
         elif stype & 0b100000:
             order = (stype & 0b011111) + 1
             info = SubframeInfo(C.SUBFRAME_TYPE_LPC, order, wasted)
@@ -205,7 +217,8 @@ class HostDecoder:
             info.quantization_level = shift
             info.qlp_coeff = qlp
             res = self.read_residual(r, blocksize, order, info)
-            x = _lpc_restore_np(res, warmup, qlp, shift)
+            x = (_native.lpc_restore(res, warmup, qlp, shift) if self._nb is not None
+                 else _lpc_restore_np(res, warmup, qlp, shift))
         else:
             raise DecodeError(f"reserved subframe type {stype:06b}")
         if wasted:
@@ -238,13 +251,19 @@ class HostDecoder:
                 raw = r.read_bits(5)
                 info.rice_params.append(-1)
                 info.raw_bits.append(raw)
-                for i in range(n):
-                    out[pos + i] = _sign_extend(r.read_bits(raw), raw) if raw else 0
+                if self._nb is not None:
+                    out[pos:pos + n], r.pos = self._nb.read_signed_array(r.pos, n, raw)
+                else:
+                    for i in range(n):
+                        out[pos + i] = _sign_extend(r.read_bits(raw), raw) if raw else 0
             else:
                 info.rice_params.append(param)
                 info.raw_bits.append(0)
-                for i in range(n):
-                    out[pos + i] = r.read_rice_signed(param)
+                if self._nb is not None:
+                    out[pos:pos + n], r.pos = self._nb.rice_read_block(r.pos, n, param)
+                else:
+                    for i in range(n):
+                        out[pos + i] = r.read_rice_signed(param)
             pos += n
         if self.keep_residuals:
             info.residual = out.copy()
@@ -295,6 +314,8 @@ class HostDecoder:
         """Scan forward for the next plausible frame sync (frame_sync_,
         stream_decoder.c:1941). Byte-aligned scan (our encoder and libFLAC
         both emit byte-aligned frames)."""
+        if self._nb is not None:
+            return self._nb.find_sync(pos)
         data = self.data
         while pos < len(data) - 1:
             if data[pos] == 0xFF and (data[pos + 1] & 0xFE) == 0xF8:

@@ -27,9 +27,9 @@ import struct
 import numpy as np
 
 try:
-    from flac_tpu._native import flac_md5_digest as _native_md5  # type: ignore
+    from flac_tpu._native import StreamingMD5 as _NativeStreamingMD5  # type: ignore
 except Exception:  # pragma: no cover - native ext optional
-    _native_md5 = None
+    _NativeStreamingMD5 = None
 
 
 def pack_samples(signal: np.ndarray, bps: int) -> bytes:
@@ -131,20 +131,13 @@ class MD5Context:
     (FLAC__MD5Init/Accumulate/Final)."""
 
     def __init__(self) -> None:
-        self._data_parts: list[bytes] | None = [] if _native_md5 else None
-        self._md5 = None if _native_md5 else FlacMD5()
+        self._md5 = _NativeStreamingMD5() if _NativeStreamingMD5 else FlacMD5()
 
     def accumulate(self, signal: np.ndarray, bps: int) -> None:
-        packed = pack_samples(signal, bps)
-        if self._md5 is not None:
-            self._md5.update(packed)
-        else:
-            self._data_parts.append(packed)
+        self._md5.update(pack_samples(signal, bps))
 
     def digest(self) -> bytes:
-        if self._md5 is not None:
-            return self._md5.digest()
-        return _native_md5(b"".join(self._data_parts))
+        return self._md5.digest()
 
 
 def md5_of_pcm(signal: np.ndarray, bps: int) -> bytes:

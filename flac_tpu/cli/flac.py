@@ -633,15 +633,27 @@ def decode_one(path: str, o: Options) -> int:
                          dither=o.apply_rg["noise_shaping"] > 0)
     buf = AudioBuffer(samples=pcm, sample_rate=si.sample_rate,
                       bits_per_sample=si.bits_per_sample)
+    foreign = None
+    if o.keep_foreign:
+        # restore chunks stored in APPLICATION blocks ids riff/aiff/w64
+        # (foreign_metadata.c:44,438-462)
+        from flac_tpu.metadata import Application, parse_metadata
+        want = b"aiff" if o.force_aiff else (b"w64 " if o.force_w64 else b"riff")
+        try:
+            blocks, _ = parse_metadata(data, 4)
+            foreign = [(b.data[:4], b.data) for b in blocks
+                       if isinstance(b, Application) and b.app_id == want]
+        except Exception:
+            foreign = None
     if o.force_raw:
         out = raw_bytes(buf, is_big_endian=o.raw_endian == "big",
                         is_unsigned=o.raw_sign == "unsigned")
     elif o.force_aiff:
-        out = aiff_bytes(buf)
+        out = aiff_bytes(buf, foreign_chunks=foreign)
     elif o.force_w64:
         out = w64_bytes(buf)
     else:
-        out = wav_bytes(buf)
+        out = wav_bytes(buf, foreign_chunks=foreign)
     if o.to_stdout:
         sys.stdout.buffer.write(out)
     else:

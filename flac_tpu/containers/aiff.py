@@ -118,7 +118,7 @@ def read_aiff(path: str) -> AudioBuffer:
         return parse_aiff(f.read())
 
 
-def aiff_bytes(buf: AudioBuffer) -> bytes:
+def aiff_bytes(buf: AudioBuffer, foreign_chunks: list | None = None) -> bytes:
     bits = buf.bits_per_sample
     bytes_per = (bits + 7) // 8
     flat = np.ascontiguousarray(buf.samples, dtype=np.int32).reshape(-1)
@@ -136,13 +136,15 @@ def aiff_bytes(buf: AudioBuffer) -> bytes:
         raise ValueError(f"unsupported bits per sample {bits}")
     comm = struct.pack(">hIh", buf.channels, buf.nsamples, bits) + _f80_encode(buf.sample_rate)
     ssnd = struct.pack(">II", 0, 0) + pcm
+    extra = b"".join(raw for _cid, raw in (foreign_chunks or []))
     out = bytearray()
-    body_len = 4 + 8 + len(comm) + 8 + len(ssnd) + (len(ssnd) & 1)
+    body_len = 4 + 8 + len(comm) + 8 + len(ssnd) + (len(ssnd) & 1) + len(extra)
     out += b"FORM" + struct.pack(">I", body_len) + b"AIFF"
     out += b"COMM" + struct.pack(">I", len(comm)) + comm
     out += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
     if len(ssnd) & 1:
         out += b"\x00"
+    out += extra  # restored foreign chunks (--keep-foreign-metadata)
     return bytes(out)
 
 

@@ -124,7 +124,7 @@ def write_wav(path: str, buf: AudioBuffer) -> None:
         f.write(wav_bytes(buf))
 
 
-def wav_bytes(buf: AudioBuffer) -> bytes:
+def wav_bytes(buf: AudioBuffer, foreign_chunks: list | None = None) -> bytes:
     bits = buf.bits_per_sample
     bytes_per = (bits + 7) // 8
     channels = buf.channels
@@ -144,10 +144,13 @@ def wav_bytes(buf: AudioBuffer) -> bytes:
     byte_rate = buf.sample_rate * block_align
     fmt = struct.pack("<HHIIHH", WAVE_FORMAT_PCM, channels, buf.sample_rate,
                       byte_rate, block_align, bits)
+    extra = b"".join(raw for _cid, raw in (foreign_chunks or []))
     out = bytearray()
-    out += b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"
+    out += b"RIFF" + struct.pack(
+        "<I", 4 + 8 + len(fmt) + 8 + len(pcm) + (len(pcm) & 1) + len(extra)) + b"WAVE"
     out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
     out += b"data" + struct.pack("<I", len(pcm)) + pcm
     if len(pcm) & 1:
         out += b"\x00"
+    out += extra  # restored foreign chunks (--keep-foreign-metadata)
     return bytes(out)

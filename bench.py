@@ -41,33 +41,52 @@ def make_corpus(n_samples: int, seed: int = 7) -> np.ndarray:
 def main() -> None:
     import jax
 
-    from flac_tpu.encode.frame_encoder import EncoderConfig, build_frame_encoder
+    from flac_tpu.encode.frame_encoder import EncoderConfig, build_frame_encoder_dense
 
     dev = jax.devices()[0]
     T = 4096
     batch = 256 if dev.platform == "tpu" else 32
     cfg = EncoderConfig.from_level(5, channels=2, bits_per_sample=16,
                                    sample_rate=44100, blocksize=T)
-    encode = build_frame_encoder(cfg)
+    encode = build_frame_encoder_dense(cfg)
 
-    pcm = make_corpus(batch * T).reshape(batch, T, 2)
-    fnos = np.arange(batch, dtype=np.int64)
+    # Steady-state pipelined throughput: int16 PCM host->device (half the
+    # bytes of int32), on-device dense stream compaction so only the real
+    # compressed bytes come back, and multiple batches in flight so JAX's
+    # async dispatch overlaps transfers with compute. This is the shape of a
+    # production encode service loop.
+    nbatches = 6 if dev.platform == "tpu" else 2
+    pcm_batches = [
+        make_corpus(batch * T, seed=7 + i).reshape(batch, T, 2).astype(np.int16)
+        for i in range(nbatches)
+    ]
+    fnos = [np.arange(i * batch, (i + 1) * batch, dtype=np.int64)
+            for i in range(nbatches)]
 
     # warmup / compile
-    words, bits, info = encode(pcm, fnos)
-    jax.block_until_ready(words)
+    s, tot, bits, _ = encode(pcm_batches[0], fnos[0])
+    jax.block_until_ready(tot)
+    np.asarray(s[: int(tot)])
 
-    reps = 5 if dev.platform == "tpu" else 2
+    reps = 3 if dev.platform == "tpu" else 1
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        words, bits, info = encode(pcm, fnos)
-        np.asarray(words)  # include D2H of the packed stream
-        np.asarray(bits)
+        pending = []
+        out_bytes = 0
+        for i in range(nbatches):
+            dev_pcm = jax.device_put(pcm_batches[i], dev)  # async H2D
+            pending.append(encode(dev_pcm, fnos[i]))
+            # drain one batch behind: compute/transfers overlap
+            if len(pending) >= 2:
+                s, tot, bits, _ = pending.pop(0)
+                out_bytes += len(np.asarray(s[: int(tot)]))  # D2H of the stream
+        for s, tot, bits, _ in pending:
+            out_bytes += len(np.asarray(s[: int(tot)]))
         dt = time.perf_counter() - t0
         best = min(best, dt)
 
-    samples = batch * T * 2  # stereo samples, matching BASELINE.md's unit
+    samples = nbatches * batch * T * 2  # stereo samples, matching BASELINE.md
     msps = samples / best / 1e6
     baseline_msps = 1.0  # libFLAC -5 encode, derived in BASELINE.md
     print(json.dumps({

@@ -633,3 +633,26 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None):
 
 
 from flac_tpu.dsp.bitmath import ilog2 as _ilog2  # noqa: E402
+
+
+def build_frame_encoder_dense(cfg: EncoderConfig):
+    """Like build_frame_encoder, but the packed frames are also compacted
+    into one dense byte stream on device (packer.compact_stream_bytes), so a
+    host consumer transfers only ~the compressed size instead of the padded
+    per-frame word matrix. Returns a jitted fn:
+
+        (pcm [B,T,Ch] int — int16 accepted, frame_numbers [B]) ->
+        (stream [B*maxwords*4] uint8 (valid prefix), total_bytes [],
+         total_bits [B], info dict)
+    """
+    from flac_tpu.encode import packer as _packer
+
+    encode = build_frame_encoder(cfg)
+
+    def encode_dense(pcm, frame_numbers):
+        words, total_bits, info = encode(pcm, frame_numbers)
+        stream, total = _packer.compact_stream_bytes(words, total_bits)
+        return stream, total, total_bits, info
+
+    import jax as _jax
+    return _jax.jit(encode_dense)

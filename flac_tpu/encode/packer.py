@@ -96,3 +96,27 @@ def pack_fields(values: jnp.ndarray, nbits: jnp.ndarray, maxwords: int
 
     words = jax.vmap(one_frame)(c0, c1, we)
     return words.astype(jnp.uint32).astype(jnp.int32), total_bits
+
+
+def compact_stream_bytes(words: jnp.ndarray, total_bits: jnp.ndarray
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Concatenate per-frame packed words into one dense byte stream on
+    device, so only the real compressed bytes cross HBM→host (the padded
+    [B, maxwords] layout is ~2-3x larger than the stream at typical ratios).
+
+    words: [B, W] int32 big-endian words; total_bits: [B]. Frames are
+    byte-aligned (the frame tail pads to a byte + CRC-16). Returns
+    (stream [B*W*4] uint8 — valid prefix only, total_bytes scalar int64).
+    """
+    B, W = words.shape
+    nbytes = (total_bits.astype(jnp.int64) + 7) // 8
+    starts = jnp.cumsum(nbytes) - nbytes
+    total = starts[-1] + nbytes[-1]
+    N = B * W * 4
+    j = jnp.arange(N, dtype=jnp.int64)
+    f = jnp.clip(jnp.searchsorted(starts, j, side="right") - 1, 0, B - 1)
+    off = j - starts[f]
+    w = words.astype(jnp.uint32)[f, jnp.clip(off >> 2, 0, W - 1).astype(jnp.int32)]
+    shift = ((3 - (off & 3)) * 8).astype(jnp.uint32)
+    byte = (w >> shift) & 0xFF
+    return jnp.where(j < total, byte, 0).astype(jnp.uint8), total

@@ -148,3 +148,41 @@ def encode_frames_sharded(pcm: np.ndarray, cfg: EncoderConfig,
     step = build_sharded_encode_step(cfg, mesh, B // mesh.size)
     fnos = np.arange(first_frame_number, first_frame_number + B, dtype=np.int64)
     return step(jnp.asarray(pcm), jnp.asarray(fnos))
+
+
+def build_sharded_decode_step(geom, mesh: Mesh, frames_per_device: int):
+    """Frame-sharded decode: `step(words[W], start_bits[B]) -> (pcm[B,T,Ch],
+    end_bits[B])` with the frame axis sharded across every device and the
+    packed word stream replicated (each frame gather-reads its own bit
+    window; decode is embarrassingly frame-parallel, mirroring the encode
+    side's data-parallel design)."""
+    from flac_tpu.decode.frame_decoder import build_frame_decoder
+
+    decode = build_frame_decoder(geom)
+    n_dev = mesh.size
+    B = frames_per_device * n_dev
+
+    def local_step(words, start_bits):
+        pcm, ends, _meta = decode(words, start_bits)
+        return pcm, ends
+
+    spec_b = P(("host", "chip"))
+    # check_vma off: the decoder's internal scans mix the replicated word
+    # stream with per-shard cursors, which trips the varying-axes checker
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None), spec_b),
+        out_specs=(P(("host", "chip"), None, None), spec_b),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(words: jax.Array, start_bits: jax.Array):
+        assert start_bits.shape[0] == B, (start_bits.shape, B)
+        words = jax.lax.with_sharding_constraint(
+            words, NamedSharding(mesh, P(None)))
+        start_bits = jax.lax.with_sharding_constraint(
+            start_bits, NamedSharding(mesh, spec_b))
+        return sharded(words, start_bits)
+
+    return step

@@ -1,0 +1,72 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh (SURVEY.md §4's
+single-host multi-device simulation): frame-sharded encode with collective
+STREAMINFO stats and two-level length prefix sum; frame-sharded decode with a
+replicated word stream."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import cpu_devices, make_signal
+
+from flac_tpu.decode.frame_decoder import DecoderGeometry, bytes_to_words
+from flac_tpu.decode.stream import index_frames
+from flac_tpu.encode.encoder import encode_file
+from flac_tpu.encode.frame_encoder import EncoderConfig
+from flac_tpu.metadata import parse_metadata
+from flac_tpu.parallel.sharding import (
+    build_sharded_decode_step,
+    build_sharded_encode_step,
+    make_mesh,
+)
+
+
+BS = 256
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = cpu_devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(devs[:8])
+
+
+class TestShardedEncode:
+    def test_matches_single_device(self, mesh):
+        cfg = EncoderConfig.from_level(5, channels=2, bits_per_sample=16,
+                                       sample_rate=44100, blocksize=BS)
+        B = 16
+        sig = make_signal(BS * B, 2, 16, kind="quiet", seed=50)
+        pcm = sig.reshape(B, BS, 2)
+        fnos = np.arange(B, dtype=np.int64)
+        step = build_sharded_encode_step(cfg, mesh, B // mesh.size)
+        res = step(jnp.asarray(pcm), jnp.asarray(fnos))
+        nbytes = np.asarray(res.nbytes)
+        offs = np.asarray(res.stream_offset)
+        assert np.array_equal(offs, np.cumsum(nbytes) - nbytes)
+        assert int(res.total_bytes) == nbytes.sum()
+        assert int(res.min_framesize) == nbytes.min()
+        assert int(res.max_framesize) == nbytes.max()
+        # byte-identical to the unsharded encoder
+        from flac_tpu.encode.frame_encoder import build_frame_encoder
+        words1, bits1, _ = build_frame_encoder(cfg)(pcm, fnos)
+        np.testing.assert_array_equal(np.asarray(res.words), np.asarray(words1))
+
+
+class TestShardedDecode:
+    def test_roundtrip(self, mesh, tmp_path):
+        B = 16
+        sig = make_signal(BS * B, 2, 16, kind="quiet", seed=51)
+        p = tmp_path / "s.flac"
+        encode_file(sig, 44100, 16, str(p), level=5, blocksize=BS)
+        data = p.read_bytes()
+        blocks, audio_off = parse_metadata(data, 4)
+        offs = index_frames(np.frombuffer(data, np.uint8), audio_off, blocks[0])
+        assert offs is not None and len(offs) == B
+        geom = DecoderGeometry(blocksize=BS, channels=2, bits_per_sample=16,
+                               sample_rate=44100, max_lpc_order=32)
+        step = build_sharded_decode_step(geom, mesh, B // mesh.size)
+        pcm, ends = step(jnp.asarray(bytes_to_words(data)), jnp.asarray(offs * 8))
+        np.testing.assert_array_equal(np.asarray(pcm).reshape(-1, 2), sig)

@@ -266,7 +266,9 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None):
     window_bank = (jnp.asarray(dsp_windows.make_window_bank(cfg.apodizations, T))
                    if do_lpc else None)
     crc8_table = jnp.asarray(packer.xpow_table_np(1024, crc_mod.CRC8_POLY, 8))
-    crc16_table = jnp.asarray(packer.xpow_table_np(8 * maxbytes + 64, crc_mod.CRC16_POLY, 16))
+    _wtbl, _winv = packer.crc16_word_tables(maxwords)
+    crc16_wtbl = jnp.asarray(_wtbl)
+    crc16_winv = jnp.asarray(_winv)
     loose_q = cfg.loose_mid_side_frames
 
     bps_cand_np = np.full(K, bps_stream, np.int32)
@@ -612,18 +614,20 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None):
         ends = jnp.cumsum(nbits, axis=1)
         hdr_msg_end = ends[:, crc8_slot] - 8
         fidx = jnp.arange(F)
-        crc8_val = packer.crc_reduce(values, ends, hdr_msg_end,
-                                     fidx[None, :] <= crc8_slot - 1,
+        # only the (statically few) header fields feed the CRC-8 — slice
+        # instead of masking the whole field array
+        crc8_val = packer.crc_reduce(values[:, :crc8_slot], ends[:, :crc8_slot],
+                                     hdr_msg_end,
+                                     jnp.ones((1, crc8_slot), bool),
                                      crc8_table, crc_mod.CRC8_POLY, 8)
         values = values.at[:, crc8_slot].set(crc8_val)
-        # CRC-16 over the whole frame (all fields except the crc16 slot)
-        crc_msg_end = ends[:, -1] - 16
-        crc16_val = packer.crc_reduce(values, ends, crc_msg_end,
-                                      fidx[None, :] < F - 1,
-                                      crc16_table, crc_mod.CRC16_POLY, 16)
-        values = values.at[:, -1].set(crc16_val)
-
+        # CRC-16 over the whole frame: computed from the PACKED WORDS (the
+        # reserved 16-bit field stays zero through packing), ~10x cheaper
+        # than the per-field GF(2) reduction — see packer.crc16_from_words
         words, total_bits = packer.pack_fields(values, nbits, maxwords)
+        crc16_val = packer.crc16_from_words(words, total_bits,
+                                            crc16_wtbl, crc16_winv)
+        words = packer.insert_crc16(words, total_bits, crc16_val)
         info = dict(assignment=ca, subframe_type=sel_type, order=sel_order,
                     partition_order=sel_po, wasted=w,
                     frame_bits=total_bits, exact_subframe_bits=sel_exact_bits)

@@ -88,13 +88,40 @@ def pack_fields(values: jnp.ndarray, nbits: jnp.ndarray, maxwords: int
     # field lies entirely in word `we` (nbits <= ends => v < 2^r when we == 0)
     c1 = (v >> r) & 0xFFFFFFFF
 
-    def one_frame(c0f, c1f, wef):
-        w0 = jax.ops.segment_sum(c0f, wef, num_segments=maxwords, indices_are_sorted=True)
-        w1 = jax.ops.segment_sum(c1f, jnp.maximum(wef - 1, 0),
-                                 num_segments=maxwords, indices_are_sorted=True)
-        return w0 + w1
+    # Segmented reduction WITHOUT scatter (scatters serialize on TPU; this
+    # replaced a segment_sum that cost >80% of the whole encode): `we` is
+    # sorted, per-word contributions are bit-disjoint (so each word's sum
+    # < 2^32), and a running int64 cumsum of all contributions stays exact
+    # (F * 2^32 << 2^63) — word w's value is the cumsum difference between
+    # segment boundaries, found by binary search. c1 contributions belong to
+    # word we-1, i.e. word w sums c1 of fields with we == w+1.
+    S0 = jnp.cumsum(c0, axis=-1)
+    S1 = jnp.cumsum(c1, axis=-1)
+    zero = jnp.zeros(S0.shape[:-1] + (1,), S0.dtype)
+    S0p = jnp.concatenate([zero, S0], axis=-1)
+    S1p = jnp.concatenate([zero, S1], axis=-1)
+    w_probe = jnp.arange(-1, maxwords + 1, dtype=jnp.int32)  # [maxwords + 2]
 
-    words = jax.vmap(one_frame)(c0, c1, we)
+    # fully unrolled batched binary search (jnp.searchsorted's default scan
+    # method lowers to a while loop that dominated the whole encode on TPU)
+    F = we.shape[-1]
+    steps = max(1, int(np.ceil(np.log2(F + 1))))
+    B = we.shape[0]
+    lo = jnp.zeros((B, maxwords + 2), jnp.int32)
+    hi = jnp.full((B, maxwords + 2), F, jnp.int32)
+    wei = we.astype(jnp.int32)
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        am = jnp.take_along_axis(wei, jnp.minimum(mid, F - 1), axis=-1)
+        go_right = am <= w_probe[None, :]
+        lo = jnp.where(go_right & (mid < hi), mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    pos = lo  # first index with we > w  == count of fields with we <= w
+    t0 = jnp.take_along_axis(S0p, pos, axis=-1)
+    t1 = jnp.take_along_axis(S1p, pos, axis=-1)
+    word0 = t0[:, 1 : maxwords + 1] - t0[:, :maxwords]
+    word1 = t1[:, 2 : maxwords + 2] - t1[:, 1 : maxwords + 1]
+    words = word0 + word1
     return words.astype(jnp.uint32).astype(jnp.int32), total_bits
 
 
@@ -120,3 +147,102 @@ def compact_stream_bytes(words: jnp.ndarray, total_bits: jnp.ndarray
     shift = ((3 - (off & 3)) * 8).astype(jnp.uint32)
     byte = (w >> shift) & 0xFF
     return jnp.where(j < total, byte, 0).astype(jnp.uint8), total
+
+
+# ---------------------------------------------------------------------------
+# Word-level CRC-16 (GF(2) reduction over packed words)
+#
+# crc_reduce over the ~2-per-sample field array costs ~50 int64 passes over
+# [B, F~16k]; computing the same CRC from the packed words needs only ~32
+# int32 passes over [B, W~5k] (≈10x less work): reduce each 32-bit word mod
+# G, carryless-multiply by a static per-position x^(32j+16) table (the word's
+# distance in the zero-padded buffer is static!), XOR-reduce, then one
+# per-frame multiply by x^(-8*pad) to cancel the zero padding. Requires the
+# packed stream to hold ZEROS in the final 16-bit CRC slot; the CRC is
+# inserted into the words afterwards.
+# ---------------------------------------------------------------------------
+
+def _clmul_mod(a: int, b: int, poly: int, width: int) -> int:
+    p = 0
+    for i in range(width):
+        if (b >> i) & 1:
+            p ^= a << i
+    g = (1 << width) | poly
+    for bit in range(2 * width - 2, width - 1, -1):
+        if (p >> bit) & 1:
+            p ^= g << (bit - width)
+    return p
+
+
+@functools.lru_cache(maxsize=8)
+def crc16_word_tables(maxwords: int) -> tuple[np.ndarray, np.ndarray]:
+    """(tbl [maxwords] — x^(32*(maxwords-1-i)+16) mod G, the contribution
+    multiplier of word i in the full zero-padded buffer;
+    inv [4*maxwords+3] — x^(-8k) mod G, the pad fixup)."""
+    poly, width = crc_mod.CRC16_POLY, 16
+    xp = crc_mod.x_pow_mod_table(32 * maxwords + 17, poly, width)
+    idx = 32 * (maxwords - 1 - np.arange(maxwords)) + 16
+    tbl = xp[idx].astype(np.int32)
+    # x^-1 mod G: x * u = G + 1 => u = (G+1)/x
+    g_full = (1 << width) | poly
+    u = (g_full ^ 1) >> 1
+    u8 = u
+    for _ in range(3):  # u^2, u^4, u^8
+        u8 = _clmul_mod(u8, u8, poly, width)
+    inv = np.zeros(4 * maxwords + 3, np.int32)
+    cur = 1
+    for k in range(len(inv)):
+        inv[k] = cur
+        cur = _clmul_mod(cur, u8, poly, width)
+    return tbl, inv
+
+
+def crc16_from_words(words: jnp.ndarray, total_bits: jnp.ndarray,
+                     tbl: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
+    """CRC-16 of each frame's byte stream [0, nbytes-2) from its packed words
+    (which must have zeros in the final 16-bit slot). Returns [B] int32."""
+    W = words.shape[1]
+    g16 = (1 << 16) | crc_mod.CRC16_POLY
+    r = words.astype(jnp.uint32)
+    for bit in range(31, 15, -1):  # word mod G: 32 -> <=16 bits
+        r = r ^ (((r >> bit) & 1) * jnp.uint32(g16 << (bit - 16)))
+    t = tbl.astype(jnp.uint32)[None, :]
+    prod = jnp.zeros_like(r)
+    for b in range(16):  # carryless multiply by the static position table
+        prod = prod ^ jnp.where(((t >> b) & 1) == 1, r << b, 0)
+    acc = jax.lax.reduce(prod, jnp.uint32(0), jax.lax.bitwise_xor, (1,))
+
+    def reduce16(v):
+        for bit in range(30, 15, -1):
+            v = v ^ (((v >> bit) & 1) * jnp.uint32(g16 << (bit - 16)))
+        return v
+
+    def clmul16(a, b):
+        p = jnp.zeros_like(a)
+        for i in range(16):
+            p = p ^ jnp.where(((b >> i) & 1) == 1, a << i, 0)
+        return p
+
+    acc = reduce16(acc)
+    # cancel the zero padding: pad bytes after the CRC-16 message =
+    # buffer(4W) - nbytes + 2 (the reserved zero CRC bytes count as padding)
+    nbytes = ((total_bits.astype(jnp.int32) + 7) // 8)
+    pad = 4 * W - nbytes + 2
+    fix = inv.astype(jnp.uint32)[pad]
+    return reduce16(clmul16(acc, fix)).astype(jnp.int32)
+
+
+def insert_crc16(words: jnp.ndarray, total_bits: jnp.ndarray,
+                 crc: jnp.ndarray) -> jnp.ndarray:
+    """OR each frame's CRC-16 into the (currently zero) last 16 bits."""
+    B = words.shape[0]
+    end = total_bits.astype(jnp.int32)
+    we = (end - 1) >> 5
+    rr = end - (we << 5)  # bits of the frame in its last word, in [8, 32]
+    c = crc.astype(jnp.uint32)
+    wu = words.astype(jnp.uint32)
+    rows = jnp.arange(B)
+    wu = wu.at[rows, we].add((c << (32 - rr)) & jnp.uint32(0xFFFFFFFF))
+    spill = jnp.where(rr < 16, c >> rr, 0)  # CRC straddles two words when rr=8
+    wu = wu.at[rows, jnp.maximum(we - 1, 0)].add(spill)
+    return wu.astype(jnp.int32)

@@ -624,7 +624,10 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None):
         # CRC-16 over the whole frame: computed from the PACKED WORDS (the
         # reserved 16-bit field stays zero through packing), ~10x cheaper
         # than the per-field GF(2) reduction — see packer.crc16_from_words
-        words, total_bits = packer.pack_fields(values, nbits, maxwords)
+        if _use_pallas_packer():
+            words, total_bits = packer.pack_fields_pallas(values, nbits, maxwords)
+        else:
+            words, total_bits = packer.pack_fields(values, nbits, maxwords)
         crc16_val = packer.crc16_from_words(words, total_bits,
                                             crc16_wtbl, crc16_winv)
         words = packer.insert_crc16(words, total_bits, crc16_val)
@@ -637,6 +640,27 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None):
 
 
 from flac_tpu.dsp.bitmath import ilog2 as _ilog2  # noqa: E402
+
+
+def _use_pallas_packer() -> bool:
+    """The Pallas banded word-fill kernel is about 5x faster than the XLA
+    formulation on TPU; elsewhere (CPU tests, TPU-less dry runs) the XLA
+    path is used. Override with FLAC_TPU_PACKER=pallas|xla."""
+    import os
+
+    forced = os.environ.get("FLAC_TPU_PACKER")
+    if forced == "pallas":
+        return True
+    if forced == "xla":
+        return False
+    try:
+        import jax as _jax
+        dd = _jax.config.jax_default_device
+        if dd is not None:  # tests pin CPU while the TPU plugin is loaded
+            return getattr(dd, "platform", None) == "tpu"
+        return _jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def build_frame_encoder_dense(cfg: EncoderConfig):

@@ -140,10 +140,14 @@ def compact_stream_bytes(words: jnp.ndarray, total_bits: jnp.ndarray
     starts = jnp.cumsum(nbytes) - nbytes
     total = starts[-1] + nbytes[-1]
     N = B * W * 4
+    # frame-of-byte via B boundary scatter-adds + cumsum (searchsorted over
+    # N probes lowers to a while loop that costs seconds on TPU)
+    marks = jnp.zeros(N, jnp.int32).at[jnp.clip(starts[1:], 0, N - 1)].add(1)
+    f = jnp.clip(jnp.cumsum(marks), 0, B - 1)
     j = jnp.arange(N, dtype=jnp.int64)
-    f = jnp.clip(jnp.searchsorted(starts, j, side="right") - 1, 0, B - 1)
     off = j - starts[f]
-    w = words.astype(jnp.uint32)[f, jnp.clip(off >> 2, 0, W - 1).astype(jnp.int32)]
+    flat = words.astype(jnp.uint32).reshape(-1)
+    w = flat[jnp.clip(f.astype(jnp.int64) * W + (off >> 2), 0, B * W - 1)]
     shift = ((3 - (off & 3)) * 8).astype(jnp.uint32)
     byte = (w >> shift) & 0xFF
     return jnp.where(j < total, byte, 0).astype(jnp.uint8), total
@@ -242,7 +246,147 @@ def insert_crc16(words: jnp.ndarray, total_bits: jnp.ndarray,
     c = crc.astype(jnp.uint32)
     wu = words.astype(jnp.uint32)
     rows = jnp.arange(B)
-    wu = wu.at[rows, we].add((c << (32 - rr)) & jnp.uint32(0xFFFFFFFF))
-    spill = jnp.where(rr < 16, c >> rr, 0)  # CRC straddles two words when rr=8
+    c0v = ((c << (32 - rr).astype(jnp.uint32)) & jnp.uint32(0xFFFFFFFF)).astype(jnp.uint32)
+    wu = wu.at[rows, we].add(c0v)
+    # CRC straddles two words when rr=8
+    spill = jnp.where(rr < 16, c >> rr.astype(jnp.uint32), 0).astype(jnp.uint32)
     wu = wu.at[rows, jnp.maximum(we - 1, 0)].add(spill)
     return wu.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Pallas banded word-fill (TPU): the segmented word reduction as a custom
+# kernel. The XLA formulation above needs ~log2(F) batched gather rounds over
+# maxwords probes (~85% of encode time on TPU); this kernel instead walks a
+# (frame, word-tile) grid, scalar-prefetches each tile's exact field range
+# (computed with a tiny coarse search), DMAs only those field chunks, and
+# accumulates with masked VPU adds. Contributions are bit-disjoint per word,
+# so integer addition is carry-free and exact. Degenerate distributions
+# (e.g. thousands of zero-length fields sharing one word) stay correct —
+# the per-tile chunk count just grows; masking does the rest.
+# ---------------------------------------------------------------------------
+
+_PACK_TILE = 512     # words per output tile
+_PACK_CHUNK = 1024   # fields per DMA chunk (per frame row)
+_PACK_ROWS = 8       # frames per block (TPU block row-divisibility)
+
+
+def _pack_tile_bounds(we: jnp.ndarray, maxwords: int):
+    """Per-(frame, tile) chunk range [lo_blk, hi_blk) via an unrolled coarse
+    binary search (NT probes per frame). The ranges only SKIP work — the
+    kernel masks by word index, so any superset stays correct."""
+    B, F = we.shape
+    NT = -(-maxwords // _PACK_TILE)
+    probes_lo = (jnp.arange(NT, dtype=jnp.int32) * _PACK_TILE) - 1
+    probes_hi = probes_lo + _PACK_TILE + 1
+
+    def count_le(wef, probes):
+        lo = jnp.zeros(probes.shape, jnp.int32)
+        hi = jnp.full(probes.shape, F, jnp.int32)
+        steps = max(1, int(np.ceil(np.log2(F + 1))))
+        for _ in range(steps):
+            mid = (lo + hi) >> 1
+            am = wef[jnp.minimum(mid, F - 1)]
+            go = am <= probes
+            lo = jnp.where(go & (mid < hi), mid + 1, lo)
+            hi = jnp.where(go, hi, mid)
+        return lo
+
+    lo = jax.vmap(lambda wef: count_le(wef, probes_lo))(we)   # [B, NT]
+    hi = jax.vmap(lambda wef: count_le(wef, probes_hi))(we)   # [B, NT]
+    return lo, hi, NT
+
+
+def _pack_words_pallas(c0: jnp.ndarray, c1: jnp.ndarray, we: jnp.ndarray,
+                       maxwords: int, interpret: bool = False) -> jnp.ndarray:
+    """words [B, maxwords] int32 from per-field word contributions.
+
+    Grid: (frame-group, word-tile, chunk). Blocks are (_PACK_ROWS, chunk)
+    rectangles; a chunk is processed when it overlaps the UNION of the 8
+    frames' relevant field ranges (per-frame exactness comes from the
+    word-index mask, not the ranges)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, F = we.shape
+    padF = (-F) % _PACK_CHUNK
+    padB = (-B) % _PACK_ROWS
+    if padF or padB:
+        c0 = jnp.pad(c0, ((0, padB), (0, padF)))
+        c1 = jnp.pad(c1, ((0, padB), (0, padF)))
+        we = jnp.pad(we, ((0, padB), (0, padF)), constant_values=maxwords + 7)
+    Bp, Fp = B + padB, F + padF
+    nblocks = Fp // _PACK_CHUNK
+    lo, hi, NT = _pack_tile_bounds(we, maxwords)
+    G = Bp // _PACK_ROWS
+    # union chunk range per (frame-group, tile)
+    lo_g = jnp.min(lo.reshape(G, _PACK_ROWS, NT), axis=1) // _PACK_CHUNK
+    hi_g = -(-jnp.max(hi.reshape(G, _PACK_ROWS, NT), axis=1) // _PACK_CHUNK)
+    Wp = NT * _PACK_TILE
+
+    def kern(lo_ref, hi_ref, c0_ref, c1_ref, we_ref, out_ref):
+        g = pl.program_id(0)
+        t = pl.program_id(1)
+        c = pl.program_id(2)
+
+        @pl.when(c == 0)
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when((c >= lo_ref[g, t]) & (c < hi_ref[g, t]))
+        def _accum():
+            base = t * _PACK_TILE
+            iot = jax.lax.broadcasted_iota(
+                jnp.int32, (_PACK_CHUNK, _PACK_TILE), 1)
+            for row in range(_PACK_ROWS):
+                lw0 = we_ref[row, :] - base
+                add0 = jnp.where(lw0[:, None] == iot,
+                                 c0_ref[row, :][:, None], 0)
+                add1 = jnp.where((lw0 - 1)[:, None] == iot,
+                                 c1_ref[row, :][:, None], 0)
+                # dtype=int32: under jax_enable_x64 jnp.sum promotes to
+                # int64, whose in-kernel conversion breaks Mosaic lowering
+                out_ref[row, :] = (out_ref[row, :]
+                                   + jnp.sum(add0, axis=0, dtype=jnp.int32)
+                                   + jnp.sum(add1, axis=0, dtype=jnp.int32))
+
+    field_spec = pl.BlockSpec((_PACK_ROWS, _PACK_CHUNK),
+                              lambda g, t, c, lo, hi: (g, c))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G, NT, nblocks),
+        in_specs=[field_spec, field_spec, field_spec],
+        out_specs=pl.BlockSpec((_PACK_ROWS, _PACK_TILE),
+                               lambda g, t, c, lo, hi: (g, t)),
+    )
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, Wp), jnp.int32),
+        interpret=interpret,
+    )
+    args = (lo_g.astype(jnp.int32), hi_g.astype(jnp.int32),
+            c0.astype(jnp.int32), c1.astype(jnp.int32), we.astype(jnp.int32))
+    # the kernel is pure int32; trace it with x64 off — x64 tracing breaks
+    # the Mosaic lowering (runaway convert_element_type recursion)
+    if jax.config.jax_enable_x64 and not interpret:
+        with jax.enable_x64(False):
+            words = call(*args)
+    else:
+        words = call(*args)
+    return words[:B, :maxwords]
+
+
+def pack_fields_pallas(values: jnp.ndarray, nbits: jnp.ndarray, maxwords: int,
+                       interpret: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """pack_fields with the word fill done by the Pallas banded kernel."""
+    ends = jnp.cumsum(nbits, axis=-1)
+    total_bits = ends[..., -1]
+    we = ((ends - 1) >> 5).astype(jnp.int32)
+    r = ends - (we.astype(ends.dtype) << 5)
+    has = nbits > 0
+    v = jnp.where(has, values, 0)
+    c0 = jnp.where(has, (v << (32 - r)) & 0xFFFFFFFF, 0).astype(jnp.uint32)
+    c1 = ((v >> r) & 0xFFFFFFFF).astype(jnp.uint32)
+    words = _pack_words_pallas(c0, c1, we, maxwords, interpret=interpret)
+    return words, total_bits

@@ -18,7 +18,12 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from flac_tpu import constants as C
-from flac_tpu.encode.frame_encoder import EncoderConfig, build_frame_encoder
+from flac_tpu.encode.frame_encoder import (
+    EncoderConfig,
+    build_frame_encoder,
+    build_frame_encoder_dense,
+    _use_pallas_packer,
+)
 from flac_tpu.md5 import MD5Context
 from flac_tpu.metadata import (
     MetadataBlock,
@@ -63,7 +68,11 @@ class StreamEncoder:
         self._md5 = MD5Context()
         self._buf = np.zeros((0, self.cfg.channels), np.int32)
         self._frame_no = 0
-        self._encode = build_frame_encoder(self.cfg)
+        # on TPU the dense variant compacts the stream on device so only
+        # the compressed bytes cross the device->host link
+        self._dense = _use_pallas_packer()
+        self._encode = (build_frame_encoder_dense(self.cfg) if self._dense
+                        else build_frame_encoder(self.cfg))
         self._finish_encoders: dict[int, object] = {}
         self.stats = EncodeStats()
         self._finished = False
@@ -149,11 +158,59 @@ class StreamEncoder:
                 batch = np.concatenate(
                     [batch, np.repeat(batch[-1:], B - nb, axis=0)], axis=0)
             fnos = np.arange(self._frame_no, self._frame_no + B, dtype=np.int64)
-            words, total_bits, info = self._encode(batch, fnos)
-            self._emit(np.asarray(words), np.asarray(total_bits),
-                       {k: np.asarray(v) for k, v in info.items()}, nb, batch)
+            if self._dense:
+                stream, total, total_bits, info = self._encode(batch, fnos)
+                self._emit_dense(stream, int(total), np.asarray(total_bits),
+                                 nb, batch)
+            else:
+                words, total_bits, info = self._encode(batch, fnos)
+                self._emit(np.asarray(words), np.asarray(total_bits),
+                           {k: np.asarray(v) for k, v in info.items()}, nb, batch)
             self._frame_no += nb
             self.stats.samples += nb * bs
+
+    def _emit_dense(self, stream, total: int, total_bits: np.ndarray,
+                    nframes: int, pcm_batch: np.ndarray) -> None:
+        """Emit from the device-compacted byte stream: one device->host
+        transfer of ~the compressed size (bucketed so the dynamic-slice
+        shape compiles once per 1 MiB bucket)."""
+        lengths = (total_bits + 7) // 8
+        bucket = 1 << 20
+        n_fetch = min(((total + bucket - 1) // bucket) * bucket, stream.shape[0])
+        data = np.asarray(stream[:n_fetch])[:total]
+        # frames 0..nframes-1 occupy a contiguous prefix (padded duplicates
+        # come after them in frame order)
+        want = int(lengths[:nframes].sum())
+        payload = data[:want]
+        if self.verify:
+            maxb = int(lengths[:nframes].max())
+            byte_view = np.zeros((nframes, maxb), np.uint8)
+            off = 0
+            for i in range(nframes):
+                n = int(lengths[i])
+                byte_view[i, :n] = payload[off : off + n]
+                off += n
+            self._run_verify(byte_view, lengths, nframes, pcm_batch)
+        bs = self.cfg.blocksize
+        off = 0
+        for i in range(nframes):
+            n = int(lengths[i])
+            frame_index = self._frame_no + i
+            sample_pos = frame_index * bs
+            while self._pending_seekpoints and self._pending_seekpoints[0] < sample_pos + bs:
+                target = self._pending_seekpoints[0]
+                if target < sample_pos:
+                    self._pending_seekpoints.pop(0)
+                    continue
+                if target < sample_pos + bs:
+                    self._seek_fill[target] = (sample_pos, self.stats.bytes_written)
+                    self._pending_seekpoints.pop(0)
+            self.stats.bytes_written += n
+            self.stats.frames += 1
+            self.stats.min_framesize = min(self.stats.min_framesize, n)
+            self.stats.max_framesize = max(self.stats.max_framesize, n)
+            off += n
+        self.out.write(payload.tobytes())
 
     def _emit(self, words: np.ndarray, total_bits: np.ndarray, info: dict,
               nframes: int, pcm_batch: np.ndarray) -> None:

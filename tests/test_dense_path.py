@@ -1,0 +1,41 @@
+"""The dense (device-compacted) stream path used on TPU: StreamEncoder's
+_emit_dense must produce byte-identical output to the regular path, with
+working seektable fill-in and verify mode."""
+
+import io
+
+import numpy as np
+
+from tests.conftest import make_signal
+
+from flac_tpu.decode.host_decoder import decode_bytes
+from flac_tpu.encode.encoder import StreamEncoder
+from flac_tpu.encode.frame_encoder import EncoderConfig, build_frame_encoder_dense
+
+
+def _encode(sig, dense: bool, seekpoints=None, verify=False) -> bytes:
+    cfg = EncoderConfig.from_level(5, channels=2, bits_per_sample=16,
+                                   sample_rate=44100, blocksize=1024)
+    out = io.BytesIO()
+    enc = StreamEncoder(cfg, out, batch_frames=4, seekpoints=seekpoints,
+                        total_samples_estimate=len(sig), verify=verify)
+    if dense:  # force the TPU-only path on CPU (XLA pack under the hood)
+        enc._dense = True
+        enc._encode = build_frame_encoder_dense(cfg)
+    enc.process(sig)
+    enc.finish()
+    return out.getvalue()
+
+
+class TestDensePath:
+    def test_byte_identical_to_regular(self):
+        sig = make_signal(1024 * 9 + 321, 2, 16, kind="quiet", seed=77)
+        a = _encode(sig, dense=False, seekpoints=[0, 2048, 5000])
+        b = _encode(sig, dense=True, seekpoints=[0, 2048, 5000])
+        assert a == b
+
+    def test_roundtrip_and_verify_mode(self):
+        sig = make_signal(1024 * 5 + 11, 2, 16, kind="sine", seed=78)
+        data = _encode(sig, dense=True, verify=True)
+        pcm, si, _ = decode_bytes(data)
+        np.testing.assert_array_equal(pcm, sig)

@@ -41,6 +41,11 @@ def make_corpus(n_samples: int, seed: int = 7) -> np.ndarray:
 def main() -> None:
     import jax
 
+    # persistent compile cache: the heavy (batch, blocksize) variants compile
+    # once per machine, not once per bench invocation
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-flac-tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from flac_tpu.encode.frame_encoder import EncoderConfig, build_frame_encoder_dense
 
     dev = jax.devices()[0]

@@ -65,3 +65,52 @@ def _analyze_subframe(sf: SubframeInfo, channel: int, blocksize: int, out,
     if residual_text and sf.residual is not None:
         for i, r in enumerate(np.asarray(sf.residual)):
             out.write("\t\tresidual[%u]=%d\n" % (i, r))
+
+
+class ResidualStats:
+    """Residual distribution statistics for --residual-gnuplot — the analog
+    of analyze.c's subframe_stats_t / dump_stats (analyze.c:181-240): a
+    residual-value histogram plus mean/stddev markers, written as a gnuplot
+    script with inline data."""
+
+    def __init__(self) -> None:
+        self.counts: dict[int, int] = {}
+        self.n = 0
+        self.sum = 0.0
+        self.sos = 0.0
+
+    def update(self, residual) -> None:
+        vals, cnts = np.unique(np.asarray(residual), return_counts=True)
+        for v, c in zip(vals.tolist(), cnts.tolist()):
+            self.counts[v] = self.counts.get(v, 0) + c
+        self.n += int(cnts.sum())
+        self.sum += float(np.sum(np.asarray(residual, np.float64)))
+        self.sos += float(np.sum(np.asarray(residual, np.float64) ** 2))
+
+    def merge(self, other: "ResidualStats") -> None:
+        for v, c in other.counts.items():
+            self.counts[v] = self.counts.get(v, 0) + c
+        self.n += other.n
+        self.sum += other.sum
+        self.sos += other.sos
+
+    def dump(self, filename: str) -> None:
+        if self.n == 0:
+            return
+        mean = self.sum / self.n
+        var = max(self.sos / self.n - mean * mean, 0.0)
+        s = var ** 0.5
+        peak = max(self.counts.values())
+        with open(filename, "w") as f:
+            f.write("plot '-' title 'PDF', '-' title 'mean' with impulses, "
+                    "'-' title '1-stddev' with histeps, '-' title '2-stddev' "
+                    "with histeps, '-' title '3-stddev' with histeps, "
+                    "'-' title '4-stddev' with histeps, '-' title '5-stddev' "
+                    "with histeps, '-' title '6-stddev' with histeps\n")
+            for v in sorted(self.counts):
+                f.write("%d %u\n" % (v, self.counts[v]))
+            f.write("e\n")
+            f.write("%f %f\ne\n" % (mean, float(peak)))
+            for k in range(1, 7):
+                h = peak * (0.9 - 0.1 * k)
+                f.write("%f %f\n%f %f\ne\n" % (mean - k * s, h, mean + k * s, h))

@@ -693,7 +693,8 @@ def analyze_one(path: str, o: Options) -> int:
 
     with open(path, "rb") as f:
         data = f.read()
-    dec = HostDecoder(data, check_md5=False, keep_residuals=o.residual_text)
+    keep_res = o.residual_text or o.residual_gnuplot
+    dec = HostDecoder(data, check_md5=False, keep_residuals=keep_res)
     if o.to_stdout:
         out = sys.stdout
     else:
@@ -711,6 +712,10 @@ def analyze_one(path: str, o: Options) -> int:
         from flac_tpu.metadata import parse_block
         stream_start = skip_id3v2(data, 0)
         _si, decode_position = parse_block(data, stream_start + 4)
+        all_stats = None
+        if o.residual_gnuplot:
+            from flac_tpu.cli.analyze import ResidualStats
+            all_stats = ResidualStats()
         while pos < len(data) - 2:
             try:
                 _pcm, frame = dec.decode_frame_at(pos)
@@ -721,8 +726,20 @@ def analyze_one(path: str, o: Options) -> int:
             frame.size = frame_end - decode_position
             decode_position = frame_end
             analyze_frame(frame, fno, out, residual_text=o.residual_text)
+            if all_stats is not None:
+                # per-subframe residual distributions (analyze.c:128-158)
+                from flac_tpu.cli.analyze import ResidualStats
+                for ch, sf in enumerate(frame.subframes):
+                    if sf.residual is None:
+                        continue
+                    st = ResidualStats()
+                    st.update(sf.residual)
+                    st.dump("f%06u.s%u.gp" % (fno, ch))
+                    all_stats.merge(st)
             pos = frame_end
             fno += 1
+        if all_stats is not None:
+            all_stats.dump("all")  # flac__analyze_finish (analyze.c:167)
     finally:
         if out is not sys.stdout:
             out.close()

@@ -77,3 +77,22 @@ class TestKeepForeignMetadata:
         assert list_chunk in data and b"xyz " in data
         got = read_wav(str(back))
         np.testing.assert_array_equal(got.samples, sig)
+
+
+class TestResidualGnuplot:
+    def test_gp_files_written(self, tmp_path, monkeypatch):
+        from flac_tpu.cli.flac import main as flac_main
+        sig = make_signal(1152 * 2, 2, 16, kind="quiet", seed=40)
+        wav = tmp_path / "g.wav"
+        write_wav(str(wav), AudioBuffer(samples=sig, sample_rate=44100,
+                                        bits_per_sample=16))
+        out = tmp_path / "g.flac"
+        assert flac_main(["--totally-silent", "-2", "-f", "-o", str(out), str(wav)]) == 0
+        monkeypatch.chdir(tmp_path)
+        assert flac_main(["--totally-silent", "-a", "--residual-gnuplot", "-f",
+                          "-o", str(tmp_path / "g.ana"), str(out)]) == 0
+        gp = sorted(tmp_path.glob("f*.s*.gp"))
+        assert len(gp) == 4  # 2 frames x 2 channels
+        assert (tmp_path / "all").exists()
+        text = gp[0].read_text()
+        assert text.startswith("plot '-' title 'PDF'") and "\ne\n" in text

@@ -17,8 +17,6 @@ from __future__ import annotations
 import os
 import sys
 
-import numpy as np
-
 from flac_tpu.containers import (
     AudioBuffer,
     aiff_bytes,
@@ -612,10 +610,10 @@ def decode_one(path: str, o: Options) -> int:
         with open(path, "rb") as f:
             data = f.read()
     if sniff_format(data) == "ogg":
-        from flac_tpu.ogg import decode_ogg_flac
-        pcm, si, _ = decode_ogg_flac(data)
-    else:
-        pcm, si = _decode_window(o, data)
+        # unwrap to a native stream so windowing/seek work identically
+        from flac_tpu.ogg import flac_stream_from_ogg
+        data = flac_stream_from_ogg(data)
+    pcm, si = _decode_window(o, data)
     if o.apply_rg is not None:
         from flac_tpu.replaygain import apply_gain, load_tags
         tags = load_tags(path, album=o.apply_rg["album"]) if path != "-" else None

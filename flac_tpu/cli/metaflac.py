@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 import sys
 
-from flac_tpu import constants as C
 from flac_tpu.metadata import (
     Application,
     CueSheet,
@@ -23,7 +22,6 @@ from flac_tpu.metadata import (
     Picture,
     SeekTable,
     StreamInfo,
-    Unknown,
     VorbisComment,
 )
 

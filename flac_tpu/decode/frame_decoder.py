@@ -14,14 +14,12 @@ routes them there.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flac_tpu import constants as C
 
 # fixed-predictor restore coefficients (decoder view): x[t] = res[t] + sum c_j x[t-j]
 _FIXED_COEFFS = np.array([

@@ -21,7 +21,7 @@ from flac_tpu import constants as C
 from flac_tpu import crc as crc_mod
 from flac_tpu.bitio import BitReader, utf8_decode
 from flac_tpu.md5 import MD5Context
-from flac_tpu.metadata import MetadataBlock, StreamInfo, parse_metadata
+from flac_tpu.metadata import StreamInfo, parse_metadata
 
 try:  # native C++ host runtime (flac_tpu/_native/runtime.cpp); optional
     from flac_tpu import _native

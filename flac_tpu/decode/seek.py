@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from flac_tpu import constants as C
 from flac_tpu.bitio import BitReader
 from flac_tpu.decode import host_decoder as hd
 from flac_tpu.metadata import SeekTable, StreamInfo

@@ -27,7 +27,6 @@ from flac_tpu.encode.frame_encoder import (
 from flac_tpu.md5 import MD5Context
 from flac_tpu.metadata import (
     MetadataBlock,
-    Padding,
     SeekPoint,
     SeekTable,
     StreamInfo,

@@ -19,7 +19,6 @@ bitwriter.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from dataclasses import dataclass
 
 import jax

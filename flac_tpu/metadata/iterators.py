@@ -30,7 +30,6 @@ from flac_tpu.metadata.blocks import (
     StreamInfo,
     VorbisComment,
     parse_block,
-    serialize_block,
     serialize_metadata,
 )
 

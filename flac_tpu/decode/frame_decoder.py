@@ -79,8 +79,14 @@ def _sign_extend(v, n):
 
 
 def _read_unary(words, pos):
-    """Vectorized unary read: count zero bits to the stop bit (can exceed 32)."""
+    """Vectorized unary read: count zero bits to the stop bit (can exceed 32).
+
+    Bounded at the end of the word buffer: a lane whose position runs into the
+    zero padding past the stream (mis-indexed/corrupt frame) terminates instead
+    of scanning zeros forever — the caller's frame-length sanity check flags it.
+    """
     zero = jnp.zeros_like(pos)
+    limit = jnp.int64(words.shape[0]) * 32
 
     def cond(s):
         _, _, done = s
@@ -93,7 +99,7 @@ def _read_unary(words, pos):
         found = top != 0
         q2 = q + jnp.where(done, 0, jnp.where(found, z, 32))
         p2 = p + jnp.where(done, 0, jnp.where(found, z + 1, 32))
-        return p2, q2, done | found
+        return p2, q2, done | found | (p2 >= limit)
 
     pos2, q, _ = jax.lax.while_loop(cond, body, (pos, zero, zero.astype(bool)))
     return q, pos2

@@ -71,7 +71,9 @@ class SeekableDecoder:
             r = BitReader(self.data, pos * 8)
             try:
                 bs, _sr, _ch, _ca, _bps, strat, number = self._host.read_frame_header(r)
-            except (hd.DecodeError, EOFError, KeyError):
+            except (hd.DecodeError, EOFError, KeyError, ValueError):
+                # a false sync inside payload bytes: CRC-8 mismatch, reserved
+                # codes, or malformed UTF-8 numbers — scan on
                 pos += 1
                 continue
             first_sample = number if strat else number * self.streaminfo.min_blocksize

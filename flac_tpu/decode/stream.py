@@ -49,8 +49,8 @@ def index_frames(data: np.ndarray, audio_offset: int, si: StreamInfo) -> np.ndar
     class _Cfg:
         sample_rate = si.sample_rate
         bits_per_sample = si.bits_per_sample
-    bs_code, bs_ext_bits, _, sr_code, sr_ext_bits, _, bps_code = _header_static_codes(
-        _Cfg, si.min_blocksize)
+    (bs_code, bs_ext_bits, bs_ext_val, sr_code, sr_ext_bits, sr_ext_val,
+     bps_code) = _header_static_codes(_Cfg, si.min_blocksize)
     b0 = 0xFF
     b1 = 0xF8  # sync 111111111111100 + fixed blocksize strategy
     b2 = (bs_code << 4) | sr_code
@@ -82,6 +82,22 @@ def index_frames(data: np.ndarray, audio_offset: int, si: StreamInfo) -> np.ndar
     for j in range(1, maxu):
         cont = d[np.minimum(cand + 4 + j, n - 1)].astype(np.int64)
         number = np.where(j < ulen, (number << 6) | (cont & 0x3F), number)
+    # blocksize/sample-rate extension fields ("get from end of header" codes
+    # 6/7 and 12-14): codes alone don't pin the geometry — the final partial
+    # frame shares code 6/7 with the standard frames, so the stored extension
+    # VALUES must match too (stream_decoder.c:2197-2225)
+    ext_ok = np.ones(len(cand), bool)
+    ext_off = cand + 4 + ulen
+    for nbits, want in ((bs_ext_bits, bs_ext_val), (sr_ext_bits, sr_ext_val)):
+        if nbits:
+            val = np.zeros(len(cand), np.int64)
+            for j in range(nbits // 8):
+                val = (val << 8) | d[np.minimum(ext_off + j, n - 1)]
+            ext_ok &= val == want
+            ext_off = ext_off + nbits // 8
+    cand, ulen, number = cand[ext_ok], ulen[ext_ok], number[ext_ok]
+    if len(cand) == 0:
+        return np.zeros(0, np.int64)
     hdr_len = 4 + ulen + (bs_ext_bits + sr_ext_bits) // 8  # bytes before CRC-8
     # vectorized CRC-8 validation over variable-length headers
     maxh = int(hdr_len.max())

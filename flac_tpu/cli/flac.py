@@ -33,6 +33,73 @@ from flac_tpu.version import __version__ as VERSION
 
 USAGE = __doc__
 
+EXPLAIN = """\
+Detailed option reference (-H/--explain; mirrors flac's show_explain,
+src/flac/main.c:1300):
+
+general:
+  -v, --version          Show the version number
+  -h, --help             Show the basic usage synopsis
+  -H, --explain          Show this screen
+  -d, --decode           Decode (default behavior is to encode)
+  -t, --test             Same as -d except no decoded file is written
+  -a, --analyze          Same as -d except an analysis file is written
+  -c, --stdout           Write output to stdout
+  -s, --silent           Do not write runtime encode/decode statistics
+      --totally-silent   Do not print anything, including errors
+      --no-utf8-convert  Do not convert tags from local charset to UTF-8
+  -w, --warnings-as-errors  Treat all warnings as errors
+  -f, --force            Force overwriting of output files
+  -o, --output-name=FILENAME  Force the output file name
+      --output-prefix=STRING  Prepend STRING to output names
+      --delete-input-file     Delete the encoded/decoded input on success
+      --preserve-modtime      Output files keep the input's timestamps (default)
+      --keep-foreign-metadata Save/restore RIFF/AIFF chunks in/from APPLICATION
+                              blocks
+      --skip={#|mm:ss.ss}     Skip the first # samples of the input
+      --until={#|[+|-]mm:ss.ss}  Stop at the given sample/time
+      --ogg                   Use Ogg as the transport layer
+      --serial-number=#       Ogg serial number (encode; increments per file)
+
+analysis options:
+      --residual-text         Include residual signal in the analysis file
+      --residual-gnuplot      Dump gnuplot files of residual distributions
+
+decoding options:
+  -F, --decode-through-errors Continue decoding through stream errors
+      --cue=[#.#][-[#.#]]     Decode the given cuesheet track section
+      --apply-replaygain-which-is-not-lossless[=SPEC]  Apply ReplayGain
+      --channel-map=none      Do not reorder channels
+
+encoding options:
+  -V, --verify            Verify a correct encoding by decoding in parallel
+      --lax               Allow encoder to generate non-Subset files
+      --sector-align      (DEPRECATED) Align multiple CD-audio files on sector
+                          boundaries
+      --ignore-chunk-sizes    Ignore data chunk sizes in WAVE/AIFF files
+      --replay-gain           Calculate ReplayGain & store in Vorbis comments
+      --cuesheet=FILENAME     Import the given cuesheet
+      --picture=SPECIFICATION Import a picture into a PICTURE block
+  -T, --tag=FIELD=VALUE       Add a Vorbis comment
+      --tag-from-file=FIELD=FILENAME  Tag value from file contents
+  -S, --seekpoint={#|X|#x|#s} Include seek points in a SEEKTABLE
+      --no-cued-seekpoints    Do not add seekpoints for cuesheet track indices
+  -P, --padding=#             Write a PADDING block of the given size
+  -b, --blocksize=#           Block size in samples
+  -m, --mid-side              Try mid-side coding for stereo
+  -M, --adaptive-mid-side     Adaptive mid-side coding
+  -0..-8, --compression-level-#  Compression preset (-5 default); --fast=-0,
+                          --best=-8
+  -e, --exhaustive-model-search   Exhaustive model search
+  -A, --apodization=FUNCTION  Window function(s) for LPC analysis
+  -l, --max-lpc-order=#       Maximum LPC order
+  -p, --qlp-coeff-precision-search  Search all quantized coeff precisions
+  -q, --qlp-coeff-precision=# Precision of quantized LPC coefficients
+  -r, --rice-partition-order=[#,]#  [Min,]max residual partition order
+  -V with -t is not allowed; format options (--endian/--sign/--channels/--bps/
+  --sample-rate) describe raw input, --force-raw-format forces raw treatment.
+"""
+
 
 class CLIError(Exception):
     pass
@@ -45,8 +112,16 @@ class Options:
         self.verbosity = 2  # 0 totally silent, 1 silent(errors only), 2 normal
         self.force = False
         self.output_name: str | None = None
+        self.output_prefix: str | None = None
         self.to_stdout = False
         self.delete_input = False
+        self.preserve_modtime = True  # main.c:556 default
+        self.ignore_chunk_sizes = False
+        self.sector_align = False  # DEPRECATED in the reference, kept for parity
+        self.serial_number: int | None = None  # Ogg; random when unset (main.c:1852)
+        self.channel_map_none = False  # --channel-map=none (main.c:722-725)
+        self.cued_seekpoints = True  # main.c:582
+        self.align_reservoir = None  # --sector-align carry between files
         self.lax = False
         self.ogg = False
         self.verify = False
@@ -134,6 +209,10 @@ def parse_args(argv: list[str]) -> Options:
             if name == "help":
                 print(USAGE)
                 sys.exit(0)
+            elif name == "explain":
+                print(USAGE)
+                print(EXPLAIN)
+                sys.exit(0)
             elif name == "version":
                 print(f"flac_tpu {VERSION}")
                 sys.exit(0)
@@ -155,6 +234,30 @@ def parse_args(argv: list[str]) -> Options:
                 o.delete_input = True
             elif name == "output-name":
                 o.output_name = arg()
+            elif name == "output-prefix":
+                o.output_prefix = arg()
+            elif name == "preserve-modtime":
+                o.preserve_modtime = True
+            elif name == "no-preserve-modtime":
+                o.preserve_modtime = False
+            elif name == "ignore-chunk-sizes":
+                o.ignore_chunk_sizes = True
+            elif name == "no-ignore-chunk-sizes":
+                o.ignore_chunk_sizes = False
+            elif name == "sector-align":
+                o.sector_align = True
+            elif name == "no-sector-align":
+                o.sector_align = False
+            elif name == "serial-number":
+                o.serial_number = int(arg())
+            elif name == "channel-map":
+                if arg() != "none":
+                    raise CLIError("only --channel-map=none currently supported")
+                o.channel_map_none = True
+            elif name == "no-cued-seekpoints":
+                o.cued_seekpoints = False
+            elif name == "no-utf8-convert":
+                pass  # tags are native unicode here; accepted for parity
             elif name == "warnings-as-errors":
                 o.warnings_as_errors = True
             elif name == "lax":
@@ -311,6 +414,10 @@ def parse_args(argv: list[str]) -> Options:
                 elif c == "h":
                     print(USAGE)
                     sys.exit(0)
+                elif c == "H":
+                    print(USAGE)
+                    print(EXPLAIN)
+                    sys.exit(0)
                 elif c == "v":
                     print(f"flac_tpu {VERSION}")
                     sys.exit(0)
@@ -404,11 +511,12 @@ def _read_input(path: str, o: Options) -> tuple[AudioBuffer, str]:
         data = data[: o.input_size]
     kind = "raw" if o.force_raw else sniff_format(data)
     if kind in ("wav", "rf64"):
-        return parse_wav(data), kind
+        return parse_wav(data, ignore_chunk_sizes=o.ignore_chunk_sizes,
+                         channel_map_none=o.channel_map_none), kind
     if kind == "w64":
         return parse_w64(data), kind
     if kind == "aiff":
-        return parse_aiff(data), kind
+        return parse_aiff(data, ignore_chunk_sizes=o.ignore_chunk_sizes), kind
     if kind == "flac":
         from flac_tpu.decode.stream import decode_bytes_device
         pcm, si, _ = decode_bytes_device(data)
@@ -443,7 +551,22 @@ def _default_outname(path: str, o: Options) -> str:
         ext = ".raw"
     else:
         ext = ".wav"
-    return os.path.join(d, stem + ext)
+    name = os.path.join(d, stem + ext)
+    if o.output_prefix:
+        # the reference prepends the prefix string to the output filename
+        # verbatim (main.c get_outfilename)
+        name = o.output_prefix + name
+    return name
+
+
+def _copy_modtime(src: str, dst: str) -> None:
+    """--preserve-modtime: output keeps the input's timestamps (the analog of
+    grabbag__file_copy_metadata, src/share/grabbag/file.c)."""
+    try:
+        st = os.stat(src)
+        os.utime(dst, (st.st_atime, st.st_mtime))
+    except OSError:
+        pass
 
 
 def _build_metadata(o: Options, buf: AudioBuffer, total: int, kind: str):
@@ -477,12 +600,26 @@ def _build_metadata(o: Options, buf: AudioBuffer, total: int, kind: str):
         spec = "10s"
     else:
         spec = o.seektable_spec
+    points = []
     if spec:
         points, _ = seektable_from_specification(spec, total, buf.sample_rate)
-        if points:
-            # the StreamEncoder adopts a user-supplied SEEKTABLE and fills it
-            # in during writes, so don't also pass a seekpoints list
-            blocks.append(SeekTable(points=points))
+    if cuesheet is not None and o.cued_seekpoints:
+        # one seekpoint per cuesheet track index, then template-sort/compact
+        # (encode.c:2214-2228, --no-cued-seekpoints disables)
+        from flac_tpu.grabbag.seektable import PLACEHOLDER
+        from flac_tpu.metadata import SeekPoint
+        for tr in cuesheet.tracks:
+            for ix in tr.indices:
+                points.append(SeekPoint(tr.offset + ix.offset, 0, 0))
+        real = sorted({p.sample_number for p in points
+                       if p.sample_number != PLACEHOLDER})
+        nplace = sum(1 for p in points if p.sample_number == PLACEHOLDER)
+        points = ([SeekPoint(s, 0, 0) for s in real]
+                  + [SeekPoint(PLACEHOLDER, 0, 0)] * nplace)
+    if points:
+        # the StreamEncoder adopts a user-supplied SEEKTABLE and fills it
+        # in during writes, so don't also pass a seekpoints list
+        blocks.append(SeekTable(points=points))
     if o.keep_foreign and buf.foreign_chunks:
         app_id = {"aiff": b"aiff", "wav": b"riff", "rf64": b"riff",
                   "w64": b"w64 "}.get(kind)
@@ -498,14 +635,38 @@ def _build_metadata(o: Options, buf: AudioBuffer, total: int, kind: str):
     return blocks, seekpoints, cuesheet
 
 
-def encode_one(path: str, o: Options) -> int:
+def encode_one(path: str, o: Options, is_last: bool = True) -> int:
+    import numpy as np
+
     from flac_tpu.cli.specs import parse_cue, resolve_cue, resolve_skip_until
     from flac_tpu.encode.encoder import encode_file
 
     buf, kind = _read_input(path, o)
+    if o.sector_align:
+        if kind in ("flac", "ogg"):
+            raise CLIError("--sector-align not supported for FLAC input")
+        if (buf.sample_rate, buf.channels, buf.bits_per_sample) != (44100, 2, 16):
+            raise CLIError("--sector-align can only be done with 16-bit stereo "
+                           "44100 Hz input")
     total = buf.nsamples
     skip, until = resolve_skip_until(o.skip, o.until, buf.sample_rate, total)
     sig = buf.samples[skip:until]
+    if o.sector_align:
+        # CD sector alignment (DEPRECATED in the reference; encode.c:1144-1151,
+        # 1255-1280, 1459-1497): prepend the previous file's reservoir; hold
+        # back total%588 samples for the next file, or zero-pad the last one.
+        if o.align_reservoir is not None and len(o.align_reservoir):
+            sig = np.concatenate([o.align_reservoir, sig], axis=0)
+        rem = len(sig) % 588
+        if is_last:
+            o.align_reservoir = None
+            if rem:
+                sig = np.concatenate(
+                    [sig, np.zeros((588 - rem, sig.shape[1]), sig.dtype)], axis=0)
+        else:
+            o.align_reservoir = sig[len(sig) - rem:] if rem else None
+            if rem:
+                sig = sig[: len(sig) - rem]
     blocks, seekpoints, _ = _build_metadata(o, buf, len(sig), kind)
 
     overrides: dict = {}
@@ -551,9 +712,16 @@ def encode_one(path: str, o: Options) -> int:
 
     if o.ogg:
         from flac_tpu.ogg import encode_ogg_flac
+        if o.serial_number is None:
+            # random first serial, then increment per file (main.c:1852-1856)
+            import random
+            o.serial_number = random.randrange(0, 1 << 31)
+        serial = o.serial_number
+        o.serial_number += 1
         data = encode_ogg_flac(sig, buf.sample_rate, buf.bits_per_sample,
                                level=o.level, blocksize=o.blocksize,
-                               metadata=blocks, verify=o.verify, **overrides)
+                               metadata=blocks, verify=o.verify, serial=serial,
+                               **overrides)
         with open(out_path, "wb") as f:
             f.write(data)
         stats_bytes = len(data)
@@ -568,6 +736,8 @@ def encode_one(path: str, o: Options) -> int:
         with open(out_path, "rb") as f:
             sys.stdout.buffer.write(f.read())
         os.unlink(out_path)
+    elif o.preserve_modtime and path != "-":
+        _copy_modtime(path, out_path)
     ratio = stats_bytes / max(sig.size * ((buf.bits_per_sample + 7) // 8), 1)
     o.say(2, f"{os.path.basename(path)}: wrote {stats_bytes} bytes, ratio={ratio:.3f}")
     if o.delete_input and not o.to_stdout and path != "-":
@@ -660,6 +830,8 @@ def decode_one(path: str, o: Options) -> int:
             raise CLIError(f"output file {out_path} exists; use -f to override")
         with open(out_path, "wb") as f:
             f.write(out)
+        if o.preserve_modtime and path != "-":
+            _copy_modtime(path, out_path)
         o.say(2, f"{os.path.basename(path)}: done")
     if o.delete_input and path != "-":
         os.unlink(path)
@@ -753,12 +925,46 @@ def main(argv: list[str] | None = None) -> int:
             raise CLIError("no input files (see --help)")
         if len(o.files) > 1 and o.output_name:
             raise CLIError("-o cannot be used with multiple files")
+        if o.output_name and o.output_prefix:
+            raise CLIError("--output-prefix conflicts with -o/--output-name")
+        if o.ignore_chunk_sizes:
+            # main.c:402-413
+            if o.mode != "encode":
+                raise CLIError("--ignore-chunk-sizes only allowed for encoding")
+            if o.sector_align:
+                raise CLIError("--ignore-chunk-sizes not allowed with --sector-align")
+            if o.until:
+                raise CLIError("--ignore-chunk-sizes not allowed with --until")
+            if o.cue:
+                raise CLIError("--ignore-chunk-sizes not allowed with --cue")
+            if o.cuesheet_file:
+                raise CLIError("--ignore-chunk-sizes not allowed with --cuesheet")
+            if o.keep_foreign:
+                raise CLIError("--keep-foreign-metadata cannot be used with "
+                               "--ignore-chunk-sizes")
+        if o.sector_align:
+            # main.c:414-429 (deprecated feature, kept for parity)
+            if o.mode != "encode":
+                raise CLIError("--sector-align only allowed for encoding")
+            if o.skip:
+                raise CLIError("--sector-align not allowed with --skip")
+            if o.until:
+                raise CLIError("--sector-align not allowed with --until")
+            if o.cue:
+                raise CLIError("--sector-align not allowed with --cue")
+            if o.raw_channels is not None and o.raw_channels != 2:
+                raise CLIError("--sector-align can only be done with stereo input")
+            if o.raw_bps is not None and o.raw_bps != 16:
+                raise CLIError("--sector-align can only be done with 16-bit samples")
+            if o.raw_rate is not None and o.raw_rate != 44100:
+                raise CLIError("--sector-align can only be done with a sample "
+                               "rate of 44100")
         rc = 0
         encoded_outputs: list[str] = []
-        for path in o.files:
+        for idx, path in enumerate(o.files):
             try:
                 if o.mode == "encode":
-                    rc |= encode_one(path, o)
+                    rc |= encode_one(path, o, is_last=idx == len(o.files) - 1)
                     if o.replay_gain and not o.to_stdout:
                         encoded_outputs.append(o.output_name or
                                                _default_outname(path, o))

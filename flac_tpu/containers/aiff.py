@@ -74,7 +74,7 @@ def _decode_pcm_be(raw: bytes, bits: int, channels: int, little: bool = False) -
     return data.reshape(-1, channels)
 
 
-def parse_aiff(data: bytes) -> AudioBuffer:
+def parse_aiff(data: bytes, ignore_chunk_sizes: bool = False) -> AudioBuffer:
     if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
         raise ValueError("not an AIFF/AIFF-C file")
     is_aifc = data[8:12] == b"AIFC"
@@ -98,6 +98,9 @@ def parse_aiff(data: bytes) -> AudioBuffer:
                     raise ValueError(f"unsupported AIFF-C compression {comp!r}")
             comm = (channels, nframes, bits, int(round(rate)))
         elif cid == b"SSND":
+            if ignore_chunk_sizes:
+                # sound data extends to EOF (--ignore-chunk-sizes)
+                body = data[pos + 8 :]
             offset, _blocksize = struct.unpack_from(">II", body, 0)
             pcm = body[8 + offset :]
         elif cid == b"FVER" and is_aifc:
@@ -108,7 +111,9 @@ def parse_aiff(data: bytes) -> AudioBuffer:
     if comm is None or pcm is None:
         raise ValueError("missing COMM or SSND chunk")
     channels, nframes, bits, rate = comm
-    samples = _decode_pcm_be(pcm, bits, channels, little=little)[:nframes]
+    samples = _decode_pcm_be(pcm, bits, channels, little=little)
+    if not ignore_chunk_sizes:
+        samples = samples[:nframes]
     return AudioBuffer(samples=samples, sample_rate=rate, bits_per_sample=bits,
                        foreign_chunks=foreign)
 

@@ -71,7 +71,17 @@ def read_wav(path: str) -> AudioBuffer:
     return parse_wav(data)
 
 
-def parse_wav(data: bytes) -> AudioBuffer:
+_SUPPORTED_CHANNEL_MASKS = frozenset([
+    0x0001, 0x0003, 0x0007, 0x0033, 0x0603, 0x0037, 0x0607, 0x003F, 0x060F,
+])  # the FLAC-order-compatible WAVEFORMATEXTENSIBLE masks (encode.c:487-500)
+
+
+def parse_wav(data: bytes, ignore_chunk_sizes: bool = False,
+              channel_map_none: bool = False) -> AudioBuffer:
+    """`ignore_chunk_sizes`: treat the data chunk as extending to EOF — the
+    reference's --ignore-chunk-sizes for streams with bogus RIFF sizes
+    (encode.c get_sample_info_wave). `channel_map_none`: store channels in
+    file order, skipping the channel-mask validation (encode.c:413,487-505)."""
     if data[:4] not in (b"RIFF", b"RF64"):
         raise ValueError("not a RIFF/RF64 file")
     is_rf64 = data[:4] == b"RF64"
@@ -93,19 +103,42 @@ def parse_wav(data: bytes) -> AudioBuffer:
             tag, channels, rate, _brate, _align, bits = struct.unpack_from("<HHIIHH", body, 0)
             if tag == WAVE_FORMAT_EXTENSIBLE:
                 valid_bits = struct.unpack_from("<H", body, 18)[0]
+                mask = struct.unpack_from("<I", body, 20)[0]
                 sub_format = struct.unpack_from("<H", body, 24)[0]
                 if sub_format != WAVE_FORMAT_PCM:
                     raise ValueError("only PCM WAVE_FORMAT_EXTENSIBLE is supported")
+                if mask == 0:  # fake the mask for mono/stereo (encode.c:444-449)
+                    mask = {1: 0x0001, 2: 0x0003}.get(channels, 0)
+                if not channel_map_none and mask not in _SUPPORTED_CHANNEL_MASKS:
+                    raise ValueError(
+                        f"WAVEFORMATEXTENSIBLE chunk with unsupported channel "
+                        f"mask=0x{mask:04X}; use --channel-map=none to store "
+                        f"channels in current order")
+                if not channel_map_none and bin(mask).count("1") != channels:
+                    raise ValueError(
+                        f"channel mask 0x{mask:04X} does not assign exactly "
+                        f"{channels} channels")
                 fmt = (channels, rate, bits, valid_bits or bits)
             elif tag == WAVE_FORMAT_PCM:
+                if channels > 2 and not channel_map_none:
+                    raise ValueError(
+                        "WAVE has >2 channels but is not WAVE_FORMAT_EXTENSIBLE; "
+                        "cannot assign channels (use --channel-map=none)")
                 fmt = (channels, rate, bits, bits)
             else:
                 raise ValueError(f"unsupported WAVE format tag {tag}")
         elif cid == b"data":
-            if is_rf64 and csize == 0xFFFFFFFF and data_size_rf64 is not None:
+            if ignore_chunk_sizes:
+                body = data[pos + 8 :]
+                csize = len(body)
+            elif is_rf64 and csize == 0xFFFFFFFF and data_size_rf64 is not None:
                 body = data[pos + 8 : pos + 8 + data_size_rf64]
                 csize = data_size_rf64
             pcm = body
+            if ignore_chunk_sizes:
+                if fmt is None:
+                    raise ValueError("missing fmt chunk before data")
+                break
         else:
             foreign.append((cid, data[pos : pos + 8 + csize + (csize & 1)]))
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned

@@ -261,3 +261,161 @@ class TestMetaflacCLI:
         out_p = tmp_path / "out.png"
         rc, _ = run_metaflac_capture(f"--export-picture-to={out_p}", str(flac_file))
         assert rc == 0 and out_p.read_bytes() == png
+
+
+class TestExtendedFlags:
+    """The remaining main.c option-table entries: --ignore-chunk-sizes,
+    --sector-align (deprecated), --output-prefix, --preserve-modtime,
+    --serial-number, --channel-map=none, --no-cued-seekpoints, -H."""
+
+    def test_ignore_chunk_sizes(self, tmp_path):
+        import struct
+        sig = make_signal(6000, 2, 16, kind="sine", seed=5)
+        wav = tmp_path / "bogus.wav"
+        write_wav(str(wav), AudioBuffer(samples=sig, sample_rate=44100,
+                                        bits_per_sample=16))
+        raw = bytearray(wav.read_bytes())
+        # corrupt the data chunk size down to 1000 samples' worth
+        di = raw.find(b"data")
+        assert di > 0
+        struct.pack_into("<I", raw, di + 4, 1000 * 4)
+        wav.write_bytes(bytes(raw))
+        out = tmp_path / "o.flac"
+        assert run_flac("-5", "-f", "-o", str(out), str(wav)) == 0
+        pcm, _, _ = decode_bytes(out.read_bytes())
+        assert len(pcm) == 1000  # honored the (bogus) chunk size
+        assert run_flac("-5", "--ignore-chunk-sizes", "-f", "-o", str(out),
+                        str(wav)) == 0
+        pcm, _, _ = decode_bytes(out.read_bytes())
+        np.testing.assert_array_equal(pcm, sig)  # read to EOF
+
+    def test_ignore_chunk_sizes_usage_errors(self, wav_file):
+        wav, _ = wav_file
+        assert run_flac("-d", "--ignore-chunk-sizes", str(wav)) == 1
+        assert run_flac("--ignore-chunk-sizes", "--sector-align", str(wav)) == 1
+        assert run_flac("--ignore-chunk-sizes", "--until=100", str(wav)) == 1
+
+    def test_sector_align_two_files(self, tmp_path):
+        n1, n2 = 4096 * 2 + 301, 4096 + 97  # neither a multiple of 588
+        sig1 = make_signal(n1, 2, 16, kind="sine", seed=1)
+        sig2 = make_signal(n2, 2, 16, kind="quiet", seed=2)
+        for name, sig in (("a.wav", sig1), ("b.wav", sig2)):
+            write_wav(str(tmp_path / name),
+                      AudioBuffer(samples=sig, sample_rate=44100,
+                                  bits_per_sample=16))
+        assert run_flac("-3", "-f", "--sector-align",
+                        str(tmp_path / "a.wav"), str(tmp_path / "b.wav")) == 0
+        pcm1, _, _ = decode_bytes((tmp_path / "a.flac").read_bytes())
+        pcm2, _, _ = decode_bytes((tmp_path / "b.flac").read_bytes())
+        assert len(pcm1) % 588 == 0 and len(pcm2) % 588 == 0
+        total = np.concatenate([sig1, sig2], axis=0)
+        pad = (-len(total)) % 588
+        padded = np.concatenate(
+            [total, np.zeros((pad, 2), total.dtype)], axis=0)
+        np.testing.assert_array_equal(
+            np.concatenate([pcm1, pcm2], axis=0), padded)
+
+    def test_sector_align_vs_oracle(self, tmp_path):
+        oracle = oracle_path()
+        if oracle is None:
+            pytest.skip("oracle unavailable")
+        n1, n2 = 5000, 3333
+        sig1 = make_signal(n1, 2, 16, kind="noise", seed=3)
+        sig2 = make_signal(n2, 2, 16, kind="sine", seed=4)
+        for d in ("ours", "ref"):
+            (tmp_path / d).mkdir()
+            for name, sig in (("a.wav", sig1), ("b.wav", sig2)):
+                write_wav(str(tmp_path / d / name),
+                          AudioBuffer(samples=sig, sample_rate=44100,
+                                      bits_per_sample=16))
+        assert run_flac("-5", "-f", "--sector-align",
+                        str(tmp_path / "ours" / "a.wav"),
+                        str(tmp_path / "ours" / "b.wav")) == 0
+        r = subprocess.run([str(oracle), "-5", "-f", "--sector-align",
+                            str(tmp_path / "ref" / "a.wav"),
+                            str(tmp_path / "ref" / "b.wav")],
+                           capture_output=True)
+        assert r.returncode == 0
+        for name in ("a.flac", "b.flac"):
+            ours, _, _ = decode_bytes((tmp_path / "ours" / name).read_bytes())
+            theirs, _, _ = decode_bytes((tmp_path / "ref" / name).read_bytes())
+            np.testing.assert_array_equal(ours, theirs)
+
+    def test_output_prefix(self, tmp_path, wav_file, monkeypatch):
+        wav, sig = wav_file
+        monkeypatch.chdir(wav.parent)
+        # the prefix is prepended to the output name verbatim (main.c
+        # get_outfilename), so it composes with relative inputs
+        assert run_flac("-1", "-f", "--output-prefix=pfx-", wav.name) == 0
+        out = wav.parent / "pfx-in.flac"
+        pcm, _, _ = decode_bytes(out.read_bytes())
+        np.testing.assert_array_equal(pcm, sig)
+        assert run_flac("--output-prefix=x", "-o", "y.flac", wav.name) == 1
+
+    def test_preserve_modtime(self, tmp_path, wav_file):
+        import os
+        wav, _ = wav_file
+        old = 946684800  # 2000-01-01
+        os.utime(wav, (old, old))
+        out = tmp_path / "m.flac"
+        assert run_flac("-0", "-f", "-o", str(out), str(wav)) == 0
+        assert int(os.stat(out).st_mtime) == old  # default: preserved
+        assert run_flac("-0", "--no-preserve-modtime", "-f", "-o", str(out),
+                        str(wav)) == 0
+        assert int(os.stat(out).st_mtime) != old
+
+    def test_ogg_serial_number(self, tmp_path, wav_file):
+        wav, _ = wav_file
+        out = tmp_path / "s.oga"
+        assert run_flac("--ogg", "--serial-number=12345", "-2", "-f",
+                        "-o", str(out), str(wav)) == 0
+        data = out.read_bytes()
+        assert data[:4] == b"OggS"
+        serial = int.from_bytes(data[14:18], "little")
+        assert serial == 12345
+
+    def test_channel_map_none(self, tmp_path):
+        import struct
+        # WAVE_FORMAT_EXTENSIBLE with an unsupported channel mask
+        sig = make_signal(3000, 2, 16, kind="quiet", seed=6)
+        pcm = sig.astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHHHHI", 0xFFFE, 2, 44100, 44100 * 4, 4, 16,
+                          22, 16, 0x0009) + b"\x01\x00" + b"\x00" * 14
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(pcm)) + pcm)
+        wav = tmp_path / "ext.wav"
+        wav.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+        out = tmp_path / "e.flac"
+        assert run_flac("-1", "-f", "-o", str(out), str(wav)) == 1
+        assert run_flac("-1", "--channel-map=none", "-f", "-o", str(out),
+                        str(wav)) == 0
+        got, _, _ = decode_bytes(out.read_bytes())
+        np.testing.assert_array_equal(got, sig)
+
+    def test_no_cued_seekpoints(self, tmp_path, wav_file):
+        from flac_tpu.metadata import SeekTable, parse_metadata
+        wav, sig = wav_file
+        cue = tmp_path / "t.cue"
+        cue.write_text('FILE "x.wav" WAVE\n  TRACK 01 AUDIO\n    INDEX 01 00:00:00\n'
+                       '  TRACK 02 AUDIO\n    INDEX 01 00:00:05\n')
+        def seektable(flags):
+            out = tmp_path / "c.flac"
+            assert run_flac(*flags, f"--cuesheet={cue}", "-S", "1x", "-f",
+                            "-o", str(out), str(wav)) == 0
+            blocks, _ = parse_metadata(out.read_bytes(), 4)
+            st = next(b for b in blocks if isinstance(b, SeekTable))
+            return {p.sample_number for p in st.points}
+        with_cued = seektable(["-1"])
+        # INDEX 01 00:00:05 = 5 CD frames = 2940 samples; the encoder's
+        # seekpoint fill-in snaps it to the containing frame's first sample
+        # (blocksize 1152 at -1 -> 2304)
+        track2 = 5 * 588 // 1152 * 1152
+        assert 0 in with_cued and track2 in with_cued
+        without = seektable(["-1", "--no-cued-seekpoints"])
+        assert without == {0}  # only the -S 1x point remains
+
+    def test_explain(self, capsys):
+        with pytest.raises(SystemExit) as e:
+            flac_cli.main(["-H"])
+        assert e.value.code == 0
+        assert "Detailed option reference" in capsys.readouterr().out

@@ -49,6 +49,13 @@ class CLIError(Exception):
     pass
 
 
+def _undocumented_warning(opt: str) -> None:
+    # byte-identical to the reference's warning, typo included (options.c:1106)
+    sys.stderr.write(
+        f"WARNING: undocmented option --{opt} should be used with caution,\n"
+        "         only for repairing a damaged STREAMINFO block\n")
+
+
 def hexdump(buf: bytes, indent: str, out) -> None:
     """Byte-compatible with the reference's hexdump (src/metaflac/utils.c:78)."""
     for i in range(0, len(buf), 16):
@@ -158,6 +165,42 @@ def list_block(block, index: int, out, application_data_format: str = "hexdump",
 # ---------------------------------------------------------------------------
 
 
+def _populate_seekpoints(path: str, st: SeekTable) -> None:
+    """Fill in stream_offset/frame_samples by walking the frames, snapping
+    each target to the first sample of its containing frame — the analog of
+    populate_seekpoint_values (operations_shorthand_seektable.c:108-148)."""
+    from flac_tpu.decode.host_decoder import HostDecoder
+    from flac_tpu.grabbag import seektable_template_sort
+    from flac_tpu.metadata import SeekPoint
+
+    with open(path, "rb") as f:
+        data = f.read()
+    dec = HostDecoder(data, check_md5=False)
+    audio_offset = dec.audio_offset
+    pts = seektable_template_sort(st.points, compact=False)
+    pos = audio_offset
+    samples_written = 0
+    i = 0
+    while pos < len(data) - 2 and i < len(pts) and not pts[i].is_placeholder:
+        try:
+            _pcm, fr = dec.decode_frame_at(pos)
+        except Exception:
+            break
+        first, last = samples_written, samples_written + fr.blocksize - 1
+        j = i
+        while j < len(pts) and not pts[j].is_placeholder:
+            t = pts[j].sample_number
+            if t > last:
+                break
+            if t >= first:
+                pts[j] = SeekPoint(first, pos - audio_offset, fr.blocksize)
+            j += 1
+        i = j
+        samples_written += fr.blocksize
+        pos = fr.offset + fr.size
+    st.points = seektable_template_sort(pts)
+
+
 class Options:
     def __init__(self) -> None:
         self.preserve_modtime = False
@@ -168,6 +211,9 @@ class Options:
         self.block_types: set[int] | None = None
         self.except_block_types: set[int] | None = None
         self.application_data_format = "hexdump"
+        self.data_format = "text"  # --data-format (for --list/--append)
+        self.from_files: list[str] = []  # --from-file (for --append)
+        self.cued_seekpoints = True  # options.c:133,242-250
         self.ops: list[tuple] = []
         self.files: list[str] = []
 
@@ -217,8 +263,33 @@ def parse_args(argv: list[str]) -> Options:
             "show-bps": lambda si: si.bits_per_sample,
             "show-total-samples": lambda si: si.total_samples,
         }
+        simple_sets = {
+            # undocumented STREAMINFO repair setters (options.c:56-64,
+            # operations_shorthand_streaminfo.c:84-119): set verbatim
+            "set-min-blocksize": "min_blocksize",
+            "set-max-blocksize": "max_blocksize",
+            "set-min-framesize": "min_framesize",
+            "set-max-framesize": "max_framesize",
+            "set-sample-rate": "sample_rate",
+            "set-channels": "channels",
+            "set-bps": "bits_per_sample",
+            "set-total-samples": "total_samples",
+        }
         if name in simple_shows:
             o.ops.append(("show-streaminfo", simple_shows[name]))
+        elif name in simple_sets:
+            o.ops.append(("set-streaminfo", simple_sets[name], int(arg())))
+            _undocumented_warning(name)
+        elif name == "set-md5sum":
+            v = arg()
+            try:
+                md5 = bytes.fromhex(v)
+                if len(md5) != 16:
+                    raise ValueError
+            except ValueError:
+                raise CLIError(f"bad MD5 sum {v!r}")
+            o.ops.append(("set-streaminfo", "md5sum", md5))
+            _undocumented_warning(name)
         elif name == "preserve-modtime":
             o.preserve_modtime = True
         elif name == "with-filename":
@@ -288,6 +359,20 @@ def parse_args(argv: list[str]) -> Options:
             o.ops.append(("sort-padding",))
         elif name == "list":
             o.ops.append(("list",))
+        elif name == "append":
+            o.ops.append(("append",))
+        elif name == "data-format":
+            if arg() not in ("binary", "text"):
+                raise CLIError(f"bad data format {val!r}")
+            o.data_format = val
+        elif name == "from-file":
+            o.from_files.append(arg())
+        elif name == "no-cued-seekpoints":
+            o.cued_seekpoints = False
+        elif name == "version":
+            from flac_tpu.version import __version__
+            print(f"metaflac {__version__}")
+            sys.exit(0)
         elif name == "help":
             print(USAGE)
             sys.exit(0)
@@ -326,6 +411,13 @@ def apply_ops(path: str, o: Options, out) -> int:
         kind = op[0]
         if kind == "show-streaminfo":
             out.write(f"{show_fn}{op[1](si)}\n")
+        elif kind == "set-streaminfo":
+            setattr(si, op[1], op[2])
+            dirty = True
+        elif kind == "append":
+            # parity with the reference: operations.c:200-205
+            sys.stderr.write("ERROR: --append not implemented yet\n")
+            rc = 1
         elif kind == "show-vendor":
             vc = chain.get(VorbisComment)
             out.write(f"{show_fn}{vc.vendor_string if vc else ''}\n")
@@ -381,6 +473,17 @@ def apply_ops(path: str, o: Options, out) -> int:
             cs = cuesheet_parse(text, si.sample_rate,
                                 si.sample_rate == 44100, si.total_samples)
             chain.blocks.append(cs)
+            if o.cued_seekpoints:
+                # one seekpoint per track index unless --no-cued-seekpoints
+                # (options.c:242-250)
+                from flac_tpu.metadata import SeekPoint
+                st = chain.get(SeekTable)
+                if st is None:
+                    st = SeekTable(points=[])
+                    chain.blocks.insert(1, st)
+                st.points = st.points + [SeekPoint(t.offset + ix.offset, 0, 0)
+                                         for t in cs.tracks for ix in t.indices]
+                _populate_seekpoints(path, st)
             dirty = True
         elif kind == "export-cuesheet":
             from flac_tpu.grabbag import cuesheet_emit
@@ -408,14 +511,20 @@ def apply_ops(path: str, o: Options, out) -> int:
             with open(op[1], "wb") as f:
                 f.write(pic.data)
         elif kind == "add-seekpoint":
-            from flac_tpu.grabbag import seektable_from_specification, seektable_template_sort
+            from flac_tpu.grabbag import seektable_from_specification
+            if si.total_samples == 0:
+                out.write(f"{path}: ERROR: cannot add seekpoints because "
+                          "STREAMINFO block does not specify total_samples\n")
+                rc = 1
+                continue
             st = chain.get(SeekTable)
             points, _ = seektable_from_specification(op[1], si.total_samples,
                                                      si.sample_rate)
             if st is None:
                 st = SeekTable(points=[])
                 chain.blocks.insert(1, st)
-            st.points = seektable_template_sort(st.points + points)
+            st.points = st.points + points
+            _populate_seekpoints(path, st)
             dirty = True
         elif kind == "add-padding":
             chain.blocks.append(Padding(length=op[1]))

@@ -419,3 +419,86 @@ class TestExtendedFlags:
             flac_cli.main(["-H"])
         assert e.value.code == 0
         assert "Detailed option reference" in capsys.readouterr().out
+
+
+class TestMetaflacExtended:
+    """Remaining metaflac option-table entries: undocumented STREAMINFO
+    setters, --append (errors, like the reference), --version,
+    --no-cued-seekpoints on cuesheet import."""
+
+    @pytest.fixture
+    def flac_pair(self, tmp_path):
+        """The same FLAC file twice: ours to edit, ref copy for the oracle."""
+        sig = make_signal(44100 * 2, 2, 16, kind="sine", seed=31)
+        wav = tmp_path / "in.wav"
+        write_wav(str(wav), AudioBuffer(samples=sig, sample_rate=44100,
+                                        bits_per_sample=16))
+        ours = tmp_path / "ours.flac"
+        assert run_flac("-3", "-f", "-o", str(ours), str(wav)) == 0
+        ref = tmp_path / "ref.flac"
+        ref.write_bytes(ours.read_bytes())
+        return ours, ref
+
+    def test_streaminfo_setters_match_oracle(self, flac_pair):
+        oracle = oracle_path()
+        if oracle is None:
+            pytest.skip("oracle unavailable")
+        mf = oracle.parent / "metaflac"
+        ours, ref = flac_pair
+        ops = ["--set-total-samples=12345", "--set-min-framesize=99",
+               "--set-max-framesize=100000", "--set-sample-rate=48000",
+               "--set-channels=2", "--set-bps=16",
+               "--set-md5sum=" + "ab" * 16]
+        rc, _ = run_metaflac_capture(*ops, str(ours))
+        assert rc == 0
+        subprocess.run([str(mf), *ops, str(ref)], check=True,
+                       capture_output=True)
+        rc, got = run_metaflac_capture("--list", "--block-number=0", str(ours))
+        assert rc == 0
+        want = subprocess.run([str(mf), "--list", "--block-number=0", str(ref)],
+                              capture_output=True, text=True).stdout
+        assert got == want
+        assert ours.read_bytes() == ref.read_bytes()
+
+    def test_append_not_implemented(self, flac_pair):
+        ours, _ = flac_pair
+        rc, _ = run_metaflac_capture("--append", str(ours))
+        assert rc == 1
+
+    def test_version(self):
+        with pytest.raises(SystemExit) as e:
+            metaflac_cli.main(["--version"])
+        assert e.value.code is None or e.value.code == 0
+
+    def test_import_cuesheet_cued_seekpoints(self, flac_pair, tmp_path):
+        oracle = oracle_path()
+        if oracle is None:
+            pytest.skip("oracle unavailable")
+        mf = oracle.parent / "metaflac"
+        ours, ref = flac_pair
+        cue = tmp_path / "t.cue"
+        cue.write_text('FILE "x.wav" WAVE\n  TRACK 01 AUDIO\n    INDEX 01 00:00:00\n'
+                       '  TRACK 02 AUDIO\n    INDEX 00 00:00:40\n    INDEX 01 00:01:00\n')
+        rc, _ = run_metaflac_capture(f"--import-cuesheet-from={cue}", str(ours))
+        assert rc == 0
+        subprocess.run([str(mf), f"--import-cuesheet-from={cue}", str(ref)],
+                       check=True, capture_output=True)
+        _, got = run_metaflac_capture("--list", "--block-type=SEEKTABLE",
+                                      str(ours))
+        want = subprocess.run(
+            [str(mf), "--list", "--block-type=SEEKTABLE", str(ref)],
+            capture_output=True, text=True).stdout
+        assert got == want
+
+    def test_import_cuesheet_no_cued_seekpoints(self, flac_pair, tmp_path):
+        from flac_tpu.metadata import MetadataChain, SeekTable
+        ours, _ = flac_pair
+        cue = tmp_path / "t.cue"
+        cue.write_text('FILE "x.wav" WAVE\n  TRACK 01 AUDIO\n    INDEX 01 00:00:00\n')
+        before = MetadataChain.read(str(ours)).get(SeekTable)
+        rc, _ = run_metaflac_capture("--no-cued-seekpoints",
+                                     f"--import-cuesheet-from={cue}", str(ours))
+        assert rc == 0
+        after = MetadataChain.read(str(ours)).get(SeekTable)
+        # no new points were added (the pre-existing table is untouched)
+        assert (after.points if after else []) == (before.points if before else [])

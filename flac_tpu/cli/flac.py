@@ -543,12 +543,14 @@ def _default_outname(path: str, o: Options) -> str:
     d = os.path.dirname(path)
     if o.mode == "encode":
         ext = ".oga" if o.ogg else ".flac"
-    elif o.force_aiff:
-        ext = ".aiff"
-    elif o.force_w64:
-        ext = ".w64"
     elif o.force_raw:
         ext = ".raw"
+    elif o.force_aiff:
+        ext = ".aiff"
+    elif o.force_rf64:
+        ext = ".rf64"
+    elif o.force_w64:
+        ext = ".w64"
     else:
         ext = ".wav"
     name = os.path.join(d, stem + ext)
@@ -818,6 +820,9 @@ def decode_one(path: str, o: Options) -> int:
                         is_unsigned=o.raw_sign == "unsigned")
     elif o.force_aiff:
         out = aiff_bytes(buf, foreign_chunks=foreign)
+    elif o.force_rf64:
+        from flac_tpu.containers import rf64_bytes
+        out = rf64_bytes(buf, foreign_chunks=foreign)
     elif o.force_w64:
         out = w64_bytes(buf)
     else:

@@ -9,6 +9,7 @@ from flac_tpu.containers.wav import (  # noqa: F401
     AudioBuffer,
     parse_wav,
     read_wav,
+    rf64_bytes,
     wav_bytes,
     write_wav,
 )

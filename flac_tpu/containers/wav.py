@@ -157,6 +157,23 @@ def write_wav(path: str, buf: AudioBuffer) -> None:
         f.write(wav_bytes(buf))
 
 
+def rf64_bytes(buf: AudioBuffer, foreign_chunks: list | None = None) -> bytes:
+    """RF64 output (decode --force-rf64-format): 'RF64' form with size
+    sentinels 0xFFFFFFFF and the 64-bit sizes carried in a ds64 chunk
+    (reference decode.c:597-718)."""
+    wav = wav_bytes(buf, foreign_chunks=foreign_chunks)
+    fmt_and_rest = wav[12:]  # after "RIFF"<size>"WAVE"
+    di = fmt_and_rest.find(b"data")
+    data_size = struct.unpack_from("<I", fmt_and_rest, di + 4)[0]
+    body = bytearray(fmt_and_rest)
+    struct.pack_into("<I", body, di + 4, 0xFFFFFFFF)
+    ds64 = b"ds64" + struct.pack("<IQQQI", 28,
+                                 4 + 36 + len(body), data_size,
+                                 buf.nsamples, 0)
+    out = b"RF64" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE" + ds64 + bytes(body)
+    return out
+
+
 def wav_bytes(buf: AudioBuffer, foreign_chunks: list | None = None) -> bytes:
     bits = buf.bits_per_sample
     bytes_per = (bits + 7) // 8

@@ -225,7 +225,8 @@ def max_frame_bytes(cfg: EncoderConfig, blocksize: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None):
+def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
+                        packer_impl: str | None = None):
     """Returns a jitted function encoding a batch of equal-size frames.
 
     `blocksize` overrides cfg.blocksize for the stream's final partial frame;
@@ -584,7 +585,15 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None):
             # partition size T>>po need not be a power of two (e.g. 1152)
             at_boundary = (tvec[None, :] % ps[:, None]) == 0
             plen = jnp.where(c_rice2, 5, 4).astype(jnp.int32)
-            k_t = jnp.take_along_axis(c_params, leaf_of_t[None, :].repeat(B, 0), axis=1).astype(jnp.int64)
+            leafsz = max(T >> max_po, 1)
+            if leafsz * nleaf == T:
+                # uniform leaves: broadcast+reshape instead of a [B,T] gather
+                # (the gather was one of the hottest ops of the encode on TPU)
+                k_t = jnp.broadcast_to(c_params[:, :, None],
+                                       (B, nleaf, leafsz)).reshape(B, T).astype(jnp.int64)
+            else:
+                k_t = jnp.take_along_axis(
+                    c_params, leaf_of_t[None, :].repeat(B, 0), axis=1).astype(jnp.int64)
             param_n = jnp.where(is_coded[:, None] & at_boundary, plen[:, None], 0)
             param_v = jnp.where(param_n > 0, k_t, 0)
             cw_n_coded = ((c_folded >> k_t) + 1 + k_t)
@@ -623,7 +632,9 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None):
         # CRC-16 over the whole frame: computed from the PACKED WORDS (the
         # reserved 16-bit field stays zero through packing), ~10x cheaper
         # than the per-field GF(2) reduction — see packer.crc16_from_words
-        if _use_pallas_packer():
+        use_pallas = (_use_pallas_packer() if packer_impl is None
+                      else packer_impl == "pallas")
+        if use_pallas:
             words, total_bits = packer.pack_fields_pallas(values, nbits, maxwords)
         else:
             words, total_bits = packer.pack_fields(values, nbits, maxwords)

@@ -74,7 +74,11 @@ def build_sharded_encode_step(cfg: EncoderConfig, mesh: Mesh,
     length prefix-sum ride the mesh's collectives.
     """
     cfg = cfg.resolve()
-    encode = build_frame_encoder(cfg)
+    # pick the word-pack kernel by the MESH's platform, not the default
+    # backend: a CPU dry-run mesh may coexist with a loaded TPU plugin
+    mesh_platform = mesh.devices.flat[0].platform
+    encode = build_frame_encoder(
+        cfg, packer_impl="pallas" if mesh_platform == "tpu" else "xla")
     n_dev = mesh.size
     B = frames_per_device * n_dev
     axes = ("host", "chip")
@@ -107,12 +111,15 @@ def build_sharded_encode_step(cfg: EncoderConfig, mesh: Mesh,
                 info["assignment"])
 
     spec_b = P(("host", "chip"))
+    # check_vma off: the Pallas word-pack kernel's out_shape carries no vma
+    # annotation, which the varying-axes checker rejects under shard_map
     sharded = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(("host", "chip"), None, None), spec_b),
         out_specs=(P(("host", "chip"), None), spec_b, spec_b,
                    P(("host", "chip")), P(("host", "chip")),
                    P(("host", "chip")), spec_b),
+        check_vma=False,
     )
 
     in_sh = (NamedSharding(mesh, P(("host", "chip"), None, None)),

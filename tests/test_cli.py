@@ -502,3 +502,25 @@ class TestMetaflacExtended:
         after = MetadataChain.read(str(ours)).get(SeekTable)
         # no new points were added (the pre-existing table is untouched)
         assert (after.points if after else []) == (before.points if before else [])
+
+    def test_force_rf64_output(self, tmp_path, wav_file):
+        wav, sig = wav_file
+        out = tmp_path / "r.flac"
+        run_flac("-2", "-f", "-o", str(out), str(wav))
+        rf = tmp_path / "o.rf64"
+        assert run_flac("-d", "-f", "--force-rf64-format",
+                        "-o", str(rf), str(out)) == 0
+        data = rf.read_bytes()
+        assert data[:4] == b"RF64" and data[12:16] == b"ds64"
+        from flac_tpu.containers import parse_wav
+        got = parse_wav(data)  # RF64 parses through the WAV reader (ds64 sizes)
+        np.testing.assert_array_equal(got.samples, sig)
+        oracle = oracle_path()
+        if oracle:
+            # the oracle encodes RF64 input; round-trip ours through it
+            back = tmp_path / "rt.flac"
+            r = subprocess.run([str(oracle), "-2", "-f", "-o", str(back), str(rf)],
+                               capture_output=True)
+            assert r.returncode == 0, r.stderr[-300:]
+            pcm, _, _ = decode_bytes(back.read_bytes())
+            np.testing.assert_array_equal(pcm, sig)

@@ -511,8 +511,9 @@ def _read_input(path: str, o: Options) -> tuple[AudioBuffer, str]:
         data = data[: o.input_size]
     kind = "raw" if o.force_raw else sniff_format(data)
     if kind in ("wav", "rf64"):
+        strict = o.mode == "encode" and not o.channel_map_none
         return parse_wav(data, ignore_chunk_sizes=o.ignore_chunk_sizes,
-                         channel_map_none=o.channel_map_none), kind
+                         strict_channel_mask=strict), kind
     if kind == "w64":
         return parse_w64(data), kind
     if kind == "aiff":

@@ -77,11 +77,14 @@ _SUPPORTED_CHANNEL_MASKS = frozenset([
 
 
 def parse_wav(data: bytes, ignore_chunk_sizes: bool = False,
-              channel_map_none: bool = False) -> AudioBuffer:
+              strict_channel_mask: bool = False) -> AudioBuffer:
     """`ignore_chunk_sizes`: treat the data chunk as extending to EOF — the
     reference's --ignore-chunk-sizes for streams with bogus RIFF sizes
-    (encode.c get_sample_info_wave). `channel_map_none`: store channels in
-    file order, skipping the channel-mask validation (encode.c:413,487-505)."""
+    (encode.c get_sample_info_wave). `strict_channel_mask`: apply the
+    reference ENCODER's channel-mask validation (encode.c:413,487-505;
+    lifted by --channel-map=none). Off by default: the reference's own
+    decoder writes mask 0 for 7/8-channel files, so a general-purpose
+    reader must accept unassigned masks."""
     if data[:4] not in (b"RIFF", b"RF64"):
         raise ValueError("not a RIFF/RF64 file")
     is_rf64 = data[:4] == b"RF64"
@@ -109,18 +112,18 @@ def parse_wav(data: bytes, ignore_chunk_sizes: bool = False,
                     raise ValueError("only PCM WAVE_FORMAT_EXTENSIBLE is supported")
                 if mask == 0:  # fake the mask for mono/stereo (encode.c:444-449)
                     mask = {1: 0x0001, 2: 0x0003}.get(channels, 0)
-                if not channel_map_none and mask not in _SUPPORTED_CHANNEL_MASKS:
+                if strict_channel_mask and mask not in _SUPPORTED_CHANNEL_MASKS:
                     raise ValueError(
                         f"WAVEFORMATEXTENSIBLE chunk with unsupported channel "
                         f"mask=0x{mask:04X}; use --channel-map=none to store "
                         f"channels in current order")
-                if not channel_map_none and bin(mask).count("1") != channels:
+                if strict_channel_mask and bin(mask).count("1") != channels:
                     raise ValueError(
                         f"channel mask 0x{mask:04X} does not assign exactly "
                         f"{channels} channels")
                 fmt = (channels, rate, bits, valid_bits or bits)
             elif tag == WAVE_FORMAT_PCM:
-                if channels > 2 and not channel_map_none:
+                if channels > 2 and strict_channel_mask:
                     raise ValueError(
                         "WAVE has >2 channels but is not WAVE_FORMAT_EXTENSIBLE; "
                         "cannot assign channels (use --channel-map=none)")

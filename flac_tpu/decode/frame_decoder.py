@@ -140,6 +140,7 @@ def build_frame_decoder(geom: DecoderGeometry):
         wasteds = []
         types = []
         orders = []
+        any_ovf = jnp.zeros(B, bool)
         for c in range(Ch):
             cbps = jnp.full(B, bps, jnp.int64)
             if Ch == 2:
@@ -147,7 +148,8 @@ def build_frame_decoder(geom: DecoderGeometry):
                 is_side = ((assignment == 1) & (c == 1)) | ((assignment == 2) & (c == 0)) \
                           | ((assignment == 3) & (c == 1))
                 cbps = cbps + is_side.astype(jnp.int64)
-            x, pos, w, st, so = _decode_subframe(words, pos, cbps)
+            x, pos, w, st, so, ovf = _decode_subframe(words, pos, cbps)
+            any_ovf = any_ovf | ovf
             chans.append(x)
             wasteds.append(w)
             types.append(st)
@@ -173,7 +175,8 @@ def build_frame_decoder(geom: DecoderGeometry):
         meta = dict(sync_ok=sync_ok, assignment=assignment,
                     subframe_type=jnp.stack(types, axis=1),
                     order=jnp.stack(orders, axis=1),
-                    wasted=jnp.stack(wasteds, axis=1))
+                    wasted=jnp.stack(wasteds, axis=1),
+                    unary_overflow=any_ovf)
         return pcm.astype(jnp.int32), pos, meta
 
     def _decode_subframe(words, pos, cbps):
@@ -226,46 +229,76 @@ def build_frame_decoder(geom: DecoderGeometry):
         ps = jnp.where(is_coded, T >> po, T).astype(jnp.int64)
 
         # ---- residual / verbatim scan over sample positions ----------------
+        # A 128-bit MSB-aligned window (4 word gathers/step) feeds every
+        # field read of the step as pure elementwise shifts — the previous
+        # formulation peeked the word array per field (~16 gathers/step) and
+        # the gathers dominated the whole decode. Unary runs >= 48 zeros (no
+        # real encoder emits them) raise the overflow flag and the caller
+        # reroutes those frames to the host decoder.
+        nwords = jnp.int64(words.shape[0])
+
         def step(state, t):
-            pos, k, rawlen = state
+            pos, k, rawlen, ovf = state
+            i0 = pos >> 5
+            off = pos & 31
+            g = lambda i: words[jnp.minimum(i, nwords - 1)].astype(jnp.int64) & 0xFFFFFFFF
+            a = (g(i0) << 32) | g(i0 + 1)
+            b = (g(i0 + 2) << 32) | g(i0 + 3)
+            # normalize: wh = next 64 bits, wl = the 64 after (low `off` bits
+            # of wl are stale; consumption is capped below 97-off bits)
+            wh = jnp.where(off > 0,
+                           (a << off) | jax.lax.shift_right_logical(b, 64 - off), a)
+            wl = jnp.where(off > 0, b << off, b)
+            spent = jnp.zeros_like(pos)
+
+            def take(wh, wl, spent, n):
+                """Read n (<=63, per-lane, may be 0) bits; advance the window."""
+                v = jnp.where(n > 0, jax.lax.shift_right_logical(wh, 64 - n), 0)
+                wh2 = jnp.where(n > 0,
+                                (wh << n) | jax.lax.shift_right_logical(wl, 64 - n), wh)
+                wl2 = jnp.where(n > 0, wl << n, wl)
+                return v, wh2, wl2, spent + n
+
             boundary = is_coded & (jnp.mod(t, ps) == 0)
-            pv = _peek32(words, pos)
-            k_new = jnp.where(boundary, pv >> (32 - plen), k)
-            pos = pos + jnp.where(boundary, plen, 0)
-            esc = k_new == pesc
-            rl_v = _peek32(words, pos) >> 27  # next 5 bits
+            pv, wh, wl, spent = take(wh, wl, spent, jnp.where(boundary, plen, 0))
+            k2 = jnp.where(boundary, pv, k)
+            esc = k2 == pesc
+            rl_v, wh, wl, spent = take(wh, wl, spent,
+                                       jnp.where(boundary & esc, 5, 0))
             rawlen = jnp.where(boundary & esc, rl_v, rawlen)
-            pos = pos + jnp.where(boundary & esc, 5, 0)
-            k2 = k_new
 
             in_res = is_coded & (t >= order)
-            # rice path
-            q, pos_rice = _read_unary(words, jnp.where(in_res & ~esc, pos, 0))
-            # lanes not in rice mode: keep pos (we fed pos=0 to the unary read
-            # to keep it bounded; recompute advance via where)
-            q = jnp.where(in_res & ~esc, q, 0)
-            lsb = jnp.where(in_res & ~esc,
-                            _peek32(words, pos_rice) >> (32 - jnp.maximum(k2, 1)), 0)
-            lsb = jnp.where(k2 > 0, lsb, 0)
+            rice_on = in_res & ~esc
+            # unary: clz of the 64-bit head, capped at 47 (see above)
+            hi32 = jax.lax.shift_right_logical(wh, 32).astype(jnp.uint32)
+            lo32 = wh.astype(jnp.uint32)
+            z = jnp.where(hi32 != 0, jax.lax.clz(hi32),
+                          32 + jax.lax.clz(lo32)).astype(jnp.int64)
+            z = jnp.where(wh == 0, 64, z)
+            ovf = ovf | (rice_on & (z >= 48))
+            q = jnp.where(rice_on, jnp.minimum(z, 47), 0)
+            _, wh, wl, spent = take(wh, wl, spent, jnp.where(rice_on, q + 1, 0))
+            lsb, wh, wl, spent = take(wh, wl, spent,
+                                      jnp.where(rice_on, k2, 0))
             folded = (q << jnp.maximum(k2, 0)) | lsb
             rice_val = (folded >> 1) ^ -(folded & 1)
-            pos = jnp.where(in_res & ~esc, pos_rice + k2, pos)
             # escape (raw) path
             nbits_raw = jnp.where(in_res & esc, rawlen, 0)
-            rv, pos = _read_bits(words, pos, nbits_raw)
+            rv, wh, wl, spent = take(wh, wl, spent, nbits_raw)
             raw_val = _sign_extend(rv, nbits_raw)
             # verbatim path
             nbits_vb = jnp.where(is_verb, ebps, 0)
-            vv, pos = _read_bits(words, pos, nbits_vb)
+            vv, wh, wl, spent = take(wh, wl, spent, nbits_vb)
             verb_val = _sign_extend(vv, nbits_vb)
 
-            out = jnp.where(in_res & ~esc, rice_val,
+            out = jnp.where(rice_on, rice_val,
                   jnp.where(in_res & esc, raw_val,
                   jnp.where(is_verb, verb_val, 0)))
-            return (pos, k2, rawlen), out
+            return (pos + spent, k2, rawlen, ovf), out
 
-        (pos, _, _), res_t = jax.lax.scan(
-            step, (pos, jnp.zeros(B, jnp.int64), jnp.zeros(B, jnp.int64)),
+        (pos, _, _, ovf), res_t = jax.lax.scan(
+            step, (pos, jnp.zeros(B, jnp.int64), jnp.zeros(B, jnp.int64),
+                   jnp.zeros(B, bool)),
             jnp.arange(T, dtype=jnp.int64))
         res = res_t.T  # [B, T]
 
@@ -284,7 +317,7 @@ def build_frame_decoder(geom: DecoderGeometry):
         x = x << wasted[:, None]
         return x, pos, wasted.astype(jnp.int32), \
             jnp.where(is_const, 0, jnp.where(is_verb, 1, jnp.where(is_fixed, 2, 3))).astype(jnp.int32), \
-            order.astype(jnp.int32)
+            order.astype(jnp.int32), ovf
 
     def _restore_scan(res, coeffs, order, shift, warm, is_coded):
         B = res.shape[0]

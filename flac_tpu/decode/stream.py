@@ -162,6 +162,7 @@ class StreamDecoder:
         nfr = len(offsets)
         pcm_parts = []
         ends_all = np.zeros(nfr, np.int64)
+        host = None
         for s in range(0, nfr, B):
             batch_off = offsets[s:s + B]
             nb = len(batch_off)
@@ -169,7 +170,18 @@ class StreamDecoder:
                 batch_off = np.concatenate([batch_off, np.repeat(batch_off[-1:], B - nb)])
             pcm, ends, meta = dec(jwords, jnp.asarray(batch_off * 8))
             pcm = np.asarray(pcm)[:nb]
-            ends_all[s:s + nb] = np.asarray(ends)[:nb] // 8
+            ends_np = np.asarray(ends)[:nb] // 8
+            ovf = np.asarray(meta["unary_overflow"])[:nb]
+            if ovf.any():
+                # unary runs beyond the decoder's 96-bit window (pathological
+                # but legal streams): those frames re-decode on the host
+                if host is None:
+                    host = hd.HostDecoder(self.data_bytes, check_md5=False)
+                for i in np.flatnonzero(ovf):
+                    fpcm, fi = host.decode_frame_at(int(batch_off[i]))
+                    pcm[i] = fpcm.reshape(pcm[i].shape)
+                    ends_np[i] = fi.offset + fi.size
+            ends_all[s:s + nb] = ends_np
             pcm_parts.append(pcm.reshape(-1, si.channels))
         # frame-length sanity: frame k must end at or before frame k+1's start
         if nfr:

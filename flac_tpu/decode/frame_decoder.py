@@ -229,78 +229,89 @@ def build_frame_decoder(geom: DecoderGeometry):
         ps = jnp.where(is_coded, T >> po, T).astype(jnp.int64)
 
         # ---- residual / verbatim scan over sample positions ----------------
-        # A 128-bit MSB-aligned window (4 word gathers/step) feeds every
-        # field read of the step as pure elementwise shifts — the previous
-        # formulation peeked the word array per field (~16 gathers/step) and
-        # the gathers dominated the whole decode. Unary runs >= 48 zeros (no
-        # real encoder emits them) raise the overflow flag and the caller
-        # reroutes those frames to the host decoder.
+        # U samples per scan step, all fed from one 224-bit MSB-aligned
+        # window (7 word gathers/step = 1.75 gathers/sample) as pure
+        # elementwise shifts — the original formulation peeked the word
+        # array per field (~16 gathers/sample, incl. a nested while_loop)
+        # and the gathers dominated the whole decode. Pathological frames
+        # (unary runs >= 48 zeros, or > 193 window bits consumed in one
+        # step — never produced by real encoders) raise the overflow flag
+        # and the caller reroutes them to the host decoder.
+        U = 4
         nwords = jnp.int64(words.shape[0])
+        Tpad = -(-T // U) * U
 
-        def step(state, t):
+        def step(state, ts):
             pos, k, rawlen, ovf = state
             i0 = pos >> 5
             off = pos & 31
             g = lambda i: words[jnp.minimum(i, nwords - 1)].astype(jnp.int64) & 0xFFFFFFFF
-            a = (g(i0) << 32) | g(i0 + 1)
-            b = (g(i0 + 2) << 32) | g(i0 + 3)
-            # normalize: wh = next 64 bits, wl = the 64 after (low `off` bits
-            # of wl are stale; consumption is capped below 97-off bits)
-            wh = jnp.where(off > 0,
-                           (a << off) | jax.lax.shift_right_logical(b, 64 - off), a)
-            wl = jnp.where(off > 0, b << off, b)
+            a0 = (g(i0) << 32) | g(i0 + 1)
+            a1 = (g(i0 + 2) << 32) | g(i0 + 3)
+            a2 = (g(i0 + 4) << 32) | g(i0 + 5)
+            a3 = g(i0 + 6) << 32
+            sr = jax.lax.shift_right_logical
+            l0 = jnp.where(off > 0, (a0 << off) | sr(a1, 64 - off), a0)
+            l1 = jnp.where(off > 0, (a1 << off) | sr(a2, 64 - off), a1)
+            l2 = jnp.where(off > 0, (a2 << off) | sr(a3, 64 - off), a2)
+            l3 = jnp.where(off > 0, a3 << off, a3)
+            win = (l0, l1, l2, l3)
             spent = jnp.zeros_like(pos)
 
-            def take(wh, wl, spent, n):
-                """Read n (<=63, per-lane, may be 0) bits; advance the window."""
-                v = jnp.where(n > 0, jax.lax.shift_right_logical(wh, 64 - n), 0)
-                wh2 = jnp.where(n > 0,
-                                (wh << n) | jax.lax.shift_right_logical(wl, 64 - n), wh)
-                wl2 = jnp.where(n > 0, wl << n, wl)
-                return v, wh2, wl2, spent + n
+            def take(win, spent, n):
+                """Read n (<=63, per-lane, may be 0) bits; slide the window."""
+                l0, l1, l2, l3 = win
+                v = jnp.where(n > 0, sr(l0, 64 - n), 0)
+                m0 = jnp.where(n > 0, (l0 << n) | sr(l1, 64 - n), l0)
+                m1 = jnp.where(n > 0, (l1 << n) | sr(l2, 64 - n), l1)
+                m2 = jnp.where(n > 0, (l2 << n) | sr(l3, 64 - n), l2)
+                m3 = jnp.where(n > 0, l3 << n, l3)
+                return v, (m0, m1, m2, m3), spent + n
 
-            boundary = is_coded & (jnp.mod(t, ps) == 0)
-            pv, wh, wl, spent = take(wh, wl, spent, jnp.where(boundary, plen, 0))
-            k2 = jnp.where(boundary, pv, k)
-            esc = k2 == pesc
-            rl_v, wh, wl, spent = take(wh, wl, spent,
-                                       jnp.where(boundary & esc, 5, 0))
-            rawlen = jnp.where(boundary & esc, rl_v, rawlen)
+            outs = []
+            for j in range(U):
+                t = ts[j]
+                live = t < T
+                boundary = live & is_coded & (jnp.mod(t, ps) == 0)
+                pv, win, spent = take(win, spent, jnp.where(boundary, plen, 0))
+                k = jnp.where(boundary, pv, k)
+                rl_v, win, spent = take(win, spent,
+                                        jnp.where(boundary & (k == pesc), 5, 0))
+                rawlen = jnp.where(boundary & (k == pesc), rl_v, rawlen)
+                esc = k == pesc
 
-            in_res = is_coded & (t >= order)
-            rice_on = in_res & ~esc
-            # unary: clz of the 64-bit head, capped at 47 (see above)
-            hi32 = jax.lax.shift_right_logical(wh, 32).astype(jnp.uint32)
-            lo32 = wh.astype(jnp.uint32)
-            z = jnp.where(hi32 != 0, jax.lax.clz(hi32),
-                          32 + jax.lax.clz(lo32)).astype(jnp.int64)
-            z = jnp.where(wh == 0, 64, z)
-            ovf = ovf | (rice_on & (z >= 48))
-            q = jnp.where(rice_on, jnp.minimum(z, 47), 0)
-            _, wh, wl, spent = take(wh, wl, spent, jnp.where(rice_on, q + 1, 0))
-            lsb, wh, wl, spent = take(wh, wl, spent,
-                                      jnp.where(rice_on, k2, 0))
-            folded = (q << jnp.maximum(k2, 0)) | lsb
-            rice_val = (folded >> 1) ^ -(folded & 1)
-            # escape (raw) path
-            nbits_raw = jnp.where(in_res & esc, rawlen, 0)
-            rv, wh, wl, spent = take(wh, wl, spent, nbits_raw)
-            raw_val = _sign_extend(rv, nbits_raw)
-            # verbatim path
-            nbits_vb = jnp.where(is_verb, ebps, 0)
-            vv, wh, wl, spent = take(wh, wl, spent, nbits_vb)
-            verb_val = _sign_extend(vv, nbits_vb)
+                in_res = live & is_coded & (t >= order)
+                rice_on = in_res & ~esc
+                l0 = win[0]
+                hi32 = sr(l0, 32).astype(jnp.uint32)
+                lo32 = l0.astype(jnp.uint32)
+                z = jnp.where(hi32 != 0, jax.lax.clz(hi32),
+                              32 + jax.lax.clz(lo32)).astype(jnp.int64)
+                z = jnp.where(l0 == 0, 64, z)
+                ovf = ovf | (rice_on & (z >= 48))
+                q = jnp.where(rice_on, jnp.minimum(z, 47), 0)
+                _, win, spent = take(win, spent, jnp.where(rice_on, q + 1, 0))
+                lsb, win, spent = take(win, spent, jnp.where(rice_on, k, 0))
+                folded = (q << jnp.maximum(k, 0)) | lsb
+                rice_val = (folded >> 1) ^ -(folded & 1)
+                nbits_raw = jnp.where(in_res & esc, rawlen, 0)
+                rv, win, spent = take(win, spent, nbits_raw)
+                raw_val = _sign_extend(rv, nbits_raw)
+                nbits_vb = jnp.where(live & is_verb, ebps, 0)
+                vv, win, spent = take(win, spent, nbits_vb)
+                verb_val = _sign_extend(vv, nbits_vb)
+                outs.append(jnp.where(rice_on, rice_val,
+                            jnp.where(in_res & esc, raw_val,
+                            jnp.where(live & is_verb, verb_val, 0))))
 
-            out = jnp.where(rice_on, rice_val,
-                  jnp.where(in_res & esc, raw_val,
-                  jnp.where(is_verb, verb_val, 0)))
-            return (pos + spent, k2, rawlen, ovf), out
+            ovf = ovf | (spent > 193)  # past the window's guaranteed-valid bits
+            return (pos + spent, k, rawlen, ovf), jnp.stack(outs)
 
         (pos, _, _, ovf), res_t = jax.lax.scan(
             step, (pos, jnp.zeros(B, jnp.int64), jnp.zeros(B, jnp.int64),
                    jnp.zeros(B, bool)),
-            jnp.arange(T, dtype=jnp.int64))
-        res = res_t.T  # [B, T]
+            jnp.arange(Tpad, dtype=jnp.int64).reshape(-1, U))
+        res = res_t.reshape(Tpad, B).T[:, :T]  # [B, T]
 
         # ---- reconstruct ----------------------------------------------------
         # unified restore: fixed orders use binomial coefficients with shift 0

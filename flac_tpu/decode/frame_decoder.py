@@ -331,23 +331,36 @@ def build_frame_decoder(geom: DecoderGeometry):
             order.astype(jnp.int32), ovf
 
     def _restore_scan(res, coeffs, order, shift, warm, is_coded):
+        """Batched IIR restore; 4 samples per scan step (sequential within
+        the step) to amortize scan-step overhead, with the order mask folded
+        into the coefficients once."""
         B = res.shape[0]
+        RU = 4
+        Tpad = -(-T // RU) * RU
         hist0 = jnp.zeros((B, maxord), jnp.int64)
         jgrid = jnp.arange(maxord)
+        cm = jnp.where(jgrid[None, :] < order[:, None], coeffs, 0)
         w_full = jnp.concatenate(
             [warm, jnp.zeros((B, max(T - maxord, 0)), jnp.int64)], axis=1)[:, :T]
+        pad = ((0, 0), (0, Tpad - T))
+        res_p = jnp.pad(res, pad).T.reshape(-1, RU, B)
+        w_p = jnp.pad(w_full, pad).T.reshape(-1, RU, B)
+        ts_p = jnp.arange(Tpad, dtype=jnp.int64).reshape(-1, RU)
 
         def step(hist, inp):
-            r_t, w_t, t = inp
-            pred = jnp.sum(jnp.where(jgrid[None, :] < order[:, None], coeffs * hist, 0), axis=1)
-            pred = jax.lax.shift_right_arithmetic(pred, shift)
-            x_t = jnp.where(is_coded, jnp.where(t < order, w_t, r_t + pred), 0)
-            hist = jnp.concatenate([x_t[:, None], hist[:, :-1]], axis=1)
-            return hist, x_t
+            r_ts, w_ts, ts = inp
+            xs = []
+            for j in range(RU):
+                pred = jnp.sum(cm * hist, axis=1)
+                pred = jax.lax.shift_right_arithmetic(pred, shift)
+                x_t = jnp.where(is_coded,
+                                jnp.where(ts[j] < order, w_ts[j], r_ts[j] + pred), 0)
+                hist = jnp.concatenate([x_t[:, None], hist[:, :-1]], axis=1)
+                xs.append(x_t)
+            return hist, jnp.stack(xs)
 
-        _, xs = jax.lax.scan(step, hist0,
-                             (res.T, w_full.T, jnp.arange(T, dtype=jnp.int64)))
-        return xs.T
+        _, xs = jax.lax.scan(step, hist0, (res_p, w_p, ts_p))
+        return xs.reshape(Tpad, B).T[:, :T]
 
     return jax.jit(decode)
 

@@ -27,6 +27,10 @@ OPTION_SWEEP = [
     ["--lax", "-b", "96", "-5"],
     ["-5", "-M"],
     ["-8", "-e", "-p", "-l", "24", "--lax"],
+    ["-8", "-r", "15", "--lax", "-b", "32768"],
+    ["-5", "-A", "tukey(0.25)", "-A", "gauss(0.2)"],
+    ["-3", "-b", "576"],
+    ["--lax", "-b", "65535", "-1"],
 ]
 
 

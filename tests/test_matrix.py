@@ -141,3 +141,18 @@ class TestHighRes:
     def test_8bit_8k(self, tmp_path):
         sig = pathological("sine_mix", 2048, 1, 8, seed=9)
         _roundtrip(tmp_path, sig, 8, rate=8000, level=3)
+
+
+class TestBeyondReferenceBps:
+    """The reference codec caps input at 24 bits (format.h:121
+    FLAC__REFERENCE_CODEC_MAX_BITS_PER_SAMPLE); the format itself allows 32.
+    This implementation is lossless through the full 28/32-bit range (no
+    oracle cross-check possible — the reference binary rejects such input)."""
+
+    @pytest.mark.parametrize("bps", [28, 32])
+    def test_high_bps_roundtrip(self, tmp_path, bps):
+        rng = np.random.default_rng(bps)
+        lim = 1 << (bps - 1)
+        sig = np.clip((rng.normal(0, 0.1, (N, 2)) * lim).astype(np.int64),
+                      -lim, lim - 1).astype(np.int32)
+        _roundtrip(tmp_path, sig, bps, oracle_check=False)

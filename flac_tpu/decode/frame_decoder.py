@@ -105,9 +105,16 @@ def _read_unary(words, pos):
     return q, pos2
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def build_frame_decoder(geom: DecoderGeometry):
     """Returns a jitted fn: (words [W] int32, start_bits [B] int64) ->
-    (pcm [B, T, Ch] int32, end_bits [B] int64, meta dict)."""
+    (pcm [B, T, Ch] int32, end_bits [B] int64, meta dict).
+
+    Memoized per geometry so every StreamDecoder/SeekableDecoder in a
+    process shares one jit cache (re-tracing per instance cost seconds)."""
     T = geom.blocksize
     Ch = geom.channels
     bps = geom.bits_per_sample

@@ -19,6 +19,7 @@ bitwriter.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -225,6 +226,7 @@ def max_frame_bytes(cfg: EncoderConfig, blocksize: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=64)
 def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
                         packer_impl: str | None = None):
     """Returns a jitted function encoding a batch of equal-size frames.
@@ -673,6 +675,7 @@ def _use_pallas_packer() -> bool:
         return False
 
 
+@functools.lru_cache(maxsize=64)
 def build_frame_encoder_dense(cfg: EncoderConfig):
     """Like build_frame_encoder, but the packed frames are also compacted
     into one dense byte stream on device (packer.compact_stream_bytes), so a

@@ -554,6 +554,9 @@ def _default_outname(path: str, o: Options) -> str:
         ext = ".w64"
     else:
         ext = ".wav"
+    if path == "-":
+        # stdin input (or --stdout) streams to stdout (main.c:2165-2167)
+        return "-"
     name = os.path.join(d, stem + ext)
     if o.output_prefix:
         # the reference prepends the prefix string to the output filename
@@ -706,7 +709,8 @@ def encode_one(path: str, o: Options, is_last: bool = True) -> int:
         overrides["disable_verbatim_subframes"] = True
 
     out_path = o.output_name or _default_outname(path, o)
-    if o.to_stdout:
+    to_stdout = o.to_stdout or out_path == "-"
+    if to_stdout:
         import tempfile
         fd, out_path = tempfile.mkstemp(suffix=".flac")
         os.close(fd)
@@ -735,7 +739,7 @@ def encode_one(path: str, o: Options, is_last: bool = True) -> int:
                             do_md5=o.do_md5, **overrides)
         stats_bytes = stats.bytes_written
 
-    if o.to_stdout:
+    if to_stdout:
         with open(out_path, "rb") as f:
             sys.stdout.buffer.write(f.read())
         os.unlink(out_path)
@@ -828,10 +832,10 @@ def decode_one(path: str, o: Options) -> int:
         out = w64_bytes(buf)
     else:
         out = wav_bytes(buf, foreign_chunks=foreign)
-    if o.to_stdout:
+    out_path = o.output_name or _default_outname(path, o)
+    if o.to_stdout or out_path == "-":
         sys.stdout.buffer.write(out)
     else:
-        out_path = o.output_name or _default_outname(path, o)
         if os.path.exists(out_path) and not o.force:
             raise CLIError(f"output file {out_path} exists; use -f to override")
         with open(out_path, "wb") as f:
@@ -925,10 +929,20 @@ def analyze_one(path: str, o: Options) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    dev = os.environ.get("FLAC_TPU_DEVICE")
+    if dev:
+        # pin JAX's default device (the axon TPU plugin ignores
+        # JAX_PLATFORMS, so tests/pipelines need an explicit pin)
+        import jax
+        try:
+            jax.config.update("jax_default_device", jax.devices(dev)[0])
+        except RuntimeError:
+            pass
     try:
         o = parse_args(argv)
         if not o.files:
-            raise CLIError("no input files (see --help)")
+            # no files = read from stdin (main.c:478,497: {en,de}code_file("-"))
+            o.files = ["-"]
         if len(o.files) > 1 and o.output_name:
             raise CLIError("-o cannot be used with multiple files")
         if o.output_name and o.output_prefix:

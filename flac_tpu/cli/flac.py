@@ -941,8 +941,10 @@ def main(argv: list[str] | None = None) -> int:
     try:
         o = parse_args(argv)
         if not o.files:
-            # no files = read from stdin (main.c:478,497: {en,de}code_file("-"))
-            o.files = ["-"]
+            # no files: short usage, success (main.c:344-348); stdin needs
+            # an explicit "-" argument
+            o.say(1, USAGE)
+            return 0
         if len(o.files) > 1 and o.output_name:
             raise CLIError("-o cannot be used with multiple files")
         if o.output_name and o.output_prefix:

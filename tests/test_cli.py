@@ -526,13 +526,14 @@ class TestMetaflacExtended:
             np.testing.assert_array_equal(pcm, sig)
 
     def test_stdin_stdout_pipes(self, tmp_path, wav_file):
-        """No files = encode stdin to stdout (main.c:478,497,2165)."""
+        """Explicit "-" = encode stdin to stdout (main.c:2165); zero file
+        arguments print usage and exit 0 (main.c:344-348)."""
         import subprocess as sp
         wav, sig = wav_file
         import sys as _sys, os as _os
         env = dict(_os.environ, JAX_PLATFORMS="cpu", FLAC_TPU_DEVICE="cpu")
         r = sp.run([_sys.executable, "-m", "flac_tpu.cli.flac",
-                    "--totally-silent", "-0"],
+                    "--totally-silent", "-0", "-"],
                    input=wav.read_bytes(), capture_output=True, env=env,
                    timeout=500)
         assert r.returncode == 0, r.stderr[-300:]
@@ -540,7 +541,11 @@ class TestMetaflacExtended:
         pcm, _, _ = decode_bytes(r.stdout)
         np.testing.assert_array_equal(pcm, sig)
         r2 = sp.run([_sys.executable, "-m", "flac_tpu.cli.flac",
-                     "--totally-silent", "-d"],
+                     "--totally-silent", "-d", "-"],
                     input=r.stdout, capture_output=True, env=env, timeout=500)
         assert r2.returncode == 0, r2.stderr[-300:]
         assert r2.stdout[:4] == b"RIFF"
+        r3 = sp.run([_sys.executable, "-m", "flac_tpu.cli.flac",
+                     "--totally-silent"], capture_output=True, env=env,
+                    timeout=500)
+        assert r3.returncode == 0 and r3.stdout == b""  # usage, success

@@ -158,8 +158,74 @@ class SeekableDecoder:
 
     # -- reading ---------------------------------------------------------------
 
+    _DEVICE_MIN_FRAMES = 8  # below this, per-frame host decode is cheaper
+
+    def _frame_index(self):
+        """Lazy global frame index (stream.index_frames) for bulk reads;
+        None when the stream isn't uniform-geometry or is ambiguous."""
+        if not hasattr(self, "_findex"):
+            self._findex = None
+            si = self.streaminfo
+            if si.min_blocksize == si.max_blocksize:
+                from flac_tpu.decode.stream import index_frames
+                d = np.frombuffer(self.data, np.uint8)
+                idx = index_frames(d, self.audio_offset, si)
+                if idx is not None and len(idx):
+                    self._findex = np.asarray(idx, np.int64)
+        return self._findex
+
+    def _device_decode_frames(self, offs: np.ndarray):
+        """Batched device decode of full frames at `offs`; returns
+        (pcm [m*blocksize, ch], end_byte_of_last_frame) or None on failure."""
+        try:
+            import jax.numpy as jnp
+
+            from flac_tpu.decode.frame_decoder import (
+                DecoderGeometry,
+                build_frame_decoder,
+                bytes_to_words,
+            )
+        except Exception:
+            return None
+        si = self.streaminfo
+        geom = DecoderGeometry(blocksize=si.min_blocksize, channels=si.channels,
+                               bits_per_sample=si.bits_per_sample,
+                               sample_rate=si.sample_rate)
+        dec = build_frame_decoder(geom)
+        if not hasattr(self, "_jwords"):
+            self._jwords = jnp.asarray(bytes_to_words(self.data))
+        B = 64
+        parts: list[np.ndarray] = []
+        end = 0
+        m = len(offs)
+        for s in range(0, m, B):
+            bo = offs[s : s + B]
+            nb = len(bo)
+            if nb < B:
+                bo = np.concatenate([bo, np.repeat(bo[-1:], B - nb)])
+            pcm, ends, meta = dec(self._jwords, jnp.asarray(bo * 8))
+            pcm = np.asarray(pcm)[:nb]
+            ends_np = np.asarray(ends)[:nb] // 8
+            ovf = np.asarray(meta["unary_overflow"])[:nb]
+            for j in np.flatnonzero(ovf):  # pathological frames -> host
+                fpcm, fi = self._host.decode_frame_at(int(bo[j]))
+                pcm[j] = fpcm.reshape(pcm[j].shape)
+                ends_np[j] = fi.offset + fi.size
+            # frame-length sanity vs the next indexed offsets
+            nxt = offs[s + 1 : s + nb]
+            if (len(nxt) and np.any(ends_np[: len(nxt)] > nxt)) \
+                    or ends_np[nb - 1] > len(self.data):
+                return None
+            parts.append(pcm.reshape(-1, si.channels))
+            end = int(ends_np[nb - 1])
+        return np.concatenate(parts, axis=0), end
+
     def read(self, nsamples: int) -> np.ndarray:
-        """Decode `nsamples` samples from the current position (fewer at EOF)."""
+        """Decode `nsamples` samples from the current position (fewer at EOF).
+
+        Bulk reads over uniform-geometry streams run through the batched
+        device decoder; the tail/partial frames and non-uniform streams use
+        the sequential host decoder."""
         parts: list[np.ndarray] = []
         got = 0
         skip = getattr(self, "_skip_into_frame", 0)
@@ -169,7 +235,29 @@ class SeekableDecoder:
             self._pending = self._pending[len(take):]
             parts.append(take)
             got += len(take)
+        bs = max(self.streaminfo.min_blocksize, 1)
         while got < nsamples and self._byte_pos < len(self.data) - 2:
+            need_frames = (nsamples - got + skip) // bs
+            if need_frames >= self._DEVICE_MIN_FRAMES:
+                idx = self._frame_index()
+                if idx is not None:
+                    i = int(np.searchsorted(idx, self._byte_pos))
+                    if i < len(idx) and idx[i] == self._byte_pos:
+                        m = min(need_frames, len(idx) - i)
+                        if m >= self._DEVICE_MIN_FRAMES:
+                            res = self._device_decode_frames(idx[i : i + m])
+                            if res is not None:
+                                block, end_byte = res
+                                self._byte_pos = end_byte
+                                if skip:
+                                    block = block[skip:]
+                                    skip = 0
+                                take = block[: nsamples - got]
+                                if len(take) < len(block):
+                                    self._pending = block[len(take):]
+                                parts.append(take)
+                                got += len(take)
+                                continue
             try:
                 pcm, fi = self._host.decode_frame_at(self._byte_pos)
             except (hd.DecodeError, EOFError, ValueError, KeyError):

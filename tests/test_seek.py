@@ -88,3 +88,37 @@ class TestSeek:
         pcm, si, _ = decode_bytes(data)
         np.testing.assert_array_equal(pcm, sig)
         _verify_seeks(data, sig)
+
+
+class TestDeviceBulkRead:
+    """Large decode_range calls route through the batched device decoder
+    (SeekableDecoder.read device path); results must match the host path
+    sample-for-sample including the skip-into-frame trim and tail frames."""
+
+    def test_bulk_read_matches_host(self, tmp_path):
+        from flac_tpu.containers import AudioBuffer, write_wav
+        from flac_tpu.decode.seek import SeekableDecoder
+        sig = make_signal(4096 * 24 + 1000, 2, 16, kind="sine", seed=17)
+        p = tmp_path / "b.wav"
+        write_wav(str(p), AudioBuffer(samples=sig, sample_rate=44100,
+                                      bits_per_sample=16))
+        oracle = oracle_path()
+        if oracle is None:
+            pytest.skip("oracle unavailable")
+        out = tmp_path / "b.flac"
+        subprocess.run([str(oracle), "-5", "-f", "-o", str(out), str(p)],
+                       check=True, capture_output=True)
+        data = out.read_bytes()
+        dec = SeekableDecoder(data)
+        start, n = 4096 * 2 + 500, 4096 * 18 + 777  # mid-frame start, 18+ frames
+        got = dec.decode_range(start, n)
+        np.testing.assert_array_equal(got, sig[start : start + n])
+        assert dec._frame_index() is not None  # the device path was available
+        # sequential continuation from the device-path position
+        more = dec.read(5000)
+        np.testing.assert_array_equal(
+            more, sig[start + n : start + n + 5000])
+        # read crossing into the final partial frame (host tail)
+        tail_start = len(sig) - 4096 * 9 - 100
+        got = dec.decode_range(tail_start, 4096 * 9 + 100)
+        np.testing.assert_array_equal(got, sig[tail_start:])

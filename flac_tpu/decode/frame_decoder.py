@@ -184,7 +184,10 @@ def build_frame_decoder(geom: DecoderGeometry):
                     order=jnp.stack(orders, axis=1),
                     wasted=jnp.stack(wasteds, axis=1),
                     unary_overflow=any_ovf)
-        return pcm.astype(jnp.int32), pos, meta
+        # <=16-bit streams transfer as int16: halves the D2H bytes, which
+        # dominate whole-stream decode on bandwidth-limited links
+        out_dtype = jnp.int16 if bps <= 16 else jnp.int32
+        return pcm.astype(out_dtype), pos, meta
 
     def _decode_subframe(words, pos, cbps):
         B = pos.shape[0]
@@ -401,6 +404,6 @@ def make_verifier(cfg):
         words = bytes_to_words(byte_rows.reshape(-1))
         starts = (np.arange(B, dtype=np.int64) * rowbytes) * 8
         pcm, end, meta = dec(jnp.asarray(words), jnp.asarray(starts))
-        return np.asarray(pcm)
+        return np.asarray(pcm).astype(np.int32, copy=False)
 
     return verify

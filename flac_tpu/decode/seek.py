@@ -204,7 +204,7 @@ class SeekableDecoder:
             if nb < B:
                 bo = np.concatenate([bo, np.repeat(bo[-1:], B - nb)])
             pcm, ends, meta = dec(self._jwords, jnp.asarray(bo * 8))
-            pcm = np.asarray(pcm)[:nb]
+            pcm = np.asarray(pcm)[:nb].astype(np.int32, copy=False)
             ends_np = np.asarray(ends)[:nb] // 8
             ovf = np.asarray(meta["unary_overflow"])[:nb]
             for j in np.flatnonzero(ovf):  # pathological frames -> host

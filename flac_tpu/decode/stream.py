@@ -146,6 +146,10 @@ class StreamDecoder:
             # variable-blocksize stream: sequential path
             pcm, frames = hd.HostDecoder(self.data_bytes, check_md5=self.check_md5).decode_all()
             return pcm, dict(frames=len(frames), path="host")
+        # start the word-stream upload first (async) so it overlaps the
+        # host-side sync scan of index_frames
+        import jax.numpy as jnp
+        jwords = jnp.asarray(bytes_to_words(self.d))
         offsets = index_frames(self.d, self.audio_offset, si)
         if offsets is None:
             pcm, frames = hd.HostDecoder(self.data_bytes, check_md5=self.check_md5).decode_all()
@@ -155,25 +159,29 @@ class StreamDecoder:
                                sample_rate=si.sample_rate,
                                max_lpc_order=self.max_lpc_order)
         dec = build_frame_decoder(geom)
-        words = bytes_to_words(self.d)
-        import jax.numpy as jnp
-        jwords = jnp.asarray(words)
-        B = self.batch_frames
         nfr = len(offsets)
         pcm_parts = []
         ends_all = np.zeros(nfr, np.int64)
+        # adaptive batch: one big batch for long streams, small for short
+        # ones (each distinct batch size is a separate compile)
+        B = 512 if nfr >= 256 else self.batch_frames
         host = None
+        # queue every batch before fetching any: device compute of later
+        # batches overlaps the D2H of earlier ones
+        queued = []
         for s in range(0, nfr, B):
             batch_off = offsets[s:s + B]
             nb = len(batch_off)
             if nb < B:
                 batch_off = np.concatenate([batch_off, np.repeat(batch_off[-1:], B - nb)])
-            pcm, ends, meta = dec(jwords, jnp.asarray(batch_off * 8))
-            pcm = np.asarray(pcm)[:nb]
+            queued.append((s, nb, batch_off,
+                           dec(jwords, jnp.asarray(batch_off * 8))))
+        for s, nb, batch_off, (pcm, ends, meta) in queued:
+            pcm = np.asarray(pcm)[:nb].astype(np.int32, copy=False)
             ends_np = np.asarray(ends)[:nb] // 8
             ovf = np.asarray(meta["unary_overflow"])[:nb]
             if ovf.any():
-                # unary runs beyond the decoder's 96-bit window (pathological
+                # unary runs beyond the decoder's bit window (pathological
                 # but legal streams): those frames re-decode on the host
                 if host is None:
                     host = hd.HostDecoder(self.data_bytes, check_md5=False)
@@ -212,15 +220,22 @@ class StreamDecoder:
         return pcm, dict(frames=frames, path="device")
 
     def _check_crc16(self, offsets: np.ndarray, ends: np.ndarray) -> None:
-        """Batched CRC-16 validation of every frame (stream_decoder.c:2061)."""
+        """CRC-16 validation of every frame (stream_decoder.c:2061)."""
         lengths = ends - offsets
-        maxlen = int(lengths.max())
-        idx = offsets[:, None] + np.arange(maxlen)[None, :]
-        idx = np.minimum(idx, len(self.d) - 1)
-        rows = self.d[idx]
-        crcs = crc_mod.crc16_batch(rows, lengths - 2)
         stored = (self.d[np.minimum(offsets + lengths - 2, len(self.d) - 1)].astype(np.uint16) << 8) \
             | self.d[np.minimum(offsets + lengths - 1, len(self.d) - 1)]
+        try:
+            from flac_tpu._native import crc16 as native_crc16
+            crcs = np.fromiter(
+                (native_crc16(self.data_bytes[int(o):int(o + n - 2)])
+                 for o, n in zip(offsets, lengths)),
+                np.uint16, count=len(offsets))
+        except Exception:
+            # pure-Python fallback: columnwise batch over a padded matrix
+            maxlen = int(lengths.max())
+            idx = np.minimum(offsets[:, None] + np.arange(maxlen)[None, :],
+                             len(self.d) - 1)
+            crcs = crc_mod.crc16_batch(self.d[idx], lengths - 2)
         bad = np.flatnonzero(crcs != stored)
         if len(bad):
             raise hd.DecodeError(f"frame CRC-16 mismatch in frame(s) {bad[:5].tolist()}")

@@ -873,6 +873,9 @@ def analyze_one(path: str, o: Options) -> int:
 
     with open(path, "rb") as f:
         data = f.read()
+    if sniff_format(data) == "ogg":
+        from flac_tpu.ogg import flac_stream_from_ogg
+        data = flac_stream_from_ogg(data)
     keep_res = o.residual_text or o.residual_gnuplot
     dec = HostDecoder(data, check_md5=False, keep_residuals=keep_res)
     if o.to_stdout:

@@ -849,7 +849,6 @@ def decode_one(path: str, o: Options) -> int:
 
 
 def test_one(path: str, o: Options) -> int:
-    from flac_tpu.decode.host_decoder import DecodeError
     from flac_tpu.decode.stream import decode_bytes_device
 
     with open(path, "rb") as f:

@@ -42,9 +42,10 @@ def main() -> None:
     import jax
 
     # persistent compile cache: the heavy (batch, blocksize) variants compile
-    # once per machine, not once per bench invocation
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-flac-tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # once per machine, not once per bench invocation (machine-keyed — see
+    # flac_tpu/jaxcache.py)
+    from flac_tpu.jaxcache import enable as _enable_jax_cache
+    _enable_jax_cache()
 
     from flac_tpu.encode.frame_encoder import EncoderConfig, build_frame_encoder_dense
 

@@ -25,9 +25,12 @@ if jax.devices()[0].platform != "cpu":
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 # persistent compilation cache: the suite compiles many (level, blocksize,
-# channels, bps) encoder variants; reruns should not pay that again
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-flac-tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# channels, bps) encoder variants; reruns should not pay that again.
+# Keyed per machine feature set — loading an executable cached by a
+# different machine can segfault (see flac_tpu/jaxcache.py).
+from flac_tpu.jaxcache import enable as _enable_jax_cache  # noqa: E402
+
+_enable_jax_cache()
 
 
 def cpu_devices():

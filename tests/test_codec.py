@@ -158,3 +158,36 @@ class TestErrorHandling:
     def test_invalid_level_message(self):
         with pytest.raises((ValueError, IndexError)):
             encode_file(make_signal(10, 1, 16), 44100, 16, "/tmp/x.flac", level=9)
+
+
+class TestBitEstimatorSpotcheck:
+    """The reference's SPOTCHECK_ESTIMATE debug mode re-encodes each
+    subframe to validate the analytic bit-size estimator
+    (stream_encoder.c:3439-3468). Here the whole-frame analog: the sum of
+    the chosen subframes' exact bit counts plus the frame header/footer
+    must equal the packed frame's actual bit length for every frame."""
+
+    def test_exact_bits_match_packed_length(self):
+        import jax.numpy as jnp
+        from flac_tpu.encode.frame_encoder import EncoderConfig, build_frame_encoder
+        T, B = 1024, 6
+        cfg = EncoderConfig.from_level(5, channels=2, bits_per_sample=16,
+                                       sample_rate=44100, blocksize=T)
+        enc = build_frame_encoder(cfg)
+        sig = make_signal(B * T, 2, 16, kind="sine", seed=3).reshape(B, T, 2)
+        fnos = np.arange(B, dtype=np.int64)
+        words, total_bits, info = enc(sig, fnos)
+        total_bits = np.asarray(total_bits)
+        exact = np.asarray(info["exact_subframe_bits"])  # [B, 4]: L,R,M,S
+        assign = np.asarray(info["assignment"])
+        pair = {0: (0, 1), 1: (0, 3), 2: (1, 3), 3: (2, 3)}
+        # frame header: 32 fixed bits + utf8 frame number + crc8, footer:
+        # pad-to-byte + crc16
+        for b in range(B):
+            n = int(fnos[b])
+            utf8_bytes = 1 if n < 0x80 else 2
+            hdr = 32 + 8 * utf8_bytes + 8
+            i, j = pair[int(assign[b])]
+            body = hdr + int(exact[b, i]) + int(exact[b, j])
+            expect = (body + 7) // 8 * 8 + 16
+            assert expect == int(total_bits[b]), (b, expect, int(total_bits[b]))

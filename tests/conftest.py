@@ -27,10 +27,13 @@ if jax.devices()[0].platform != "cpu":
 # persistent compilation cache: the suite compiles many (level, blocksize,
 # channels, bps) encoder variants; reruns should not pay that again.
 # Keyed per machine feature set — loading an executable cached by a
-# different machine can segfault (see flac_tpu/jaxcache.py).
+# different machine can segfault (see flac_tpu/jaxcache.py). The 30 s
+# threshold caches only the expensive encoder builds: XLA:CPU's executable
+# (de)serializer has segfaulted on some of the many small per-stream
+# decoder variants, and those recompile in seconds anyway.
 from flac_tpu.jaxcache import enable as _enable_jax_cache  # noqa: E402
 
-_enable_jax_cache()
+_enable_jax_cache(min_compile_secs=30.0)
 
 
 def cpu_devices():

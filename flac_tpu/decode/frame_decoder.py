@@ -378,8 +378,15 @@ def build_frame_decoder(geom: DecoderGeometry):
 # ---------------------------------------------------------------------------
 
 
-def bytes_to_words(data: bytes | np.ndarray) -> np.ndarray:
-    """Big-endian uint32 view of a byte stream, zero-padded."""
+def bytes_to_words(data: bytes | np.ndarray, bucket: bool = False) -> np.ndarray:
+    """Big-endian uint32 view of a byte stream, zero-padded.
+
+    `bucket=True` zero-pads the word count up to the next power of two
+    (min 4096): the batched decoder's jit signature includes the word-array
+    length, so unbucketed streams compile one executable PER STREAM LENGTH
+    — a fresh multi-second XLA compile for every new file. Bucketing bounds
+    the executable count to ~log2(max stream size) variants. Decode results
+    are unaffected (reads past the stream are clamped/zero)."""
     arr = np.frombuffer(bytes(data), np.uint8) if isinstance(data, (bytes, bytearray)) \
         else np.ascontiguousarray(data, np.uint8).reshape(-1)
     pad = (-len(arr)) % 4
@@ -387,7 +394,12 @@ def bytes_to_words(data: bytes | np.ndarray) -> np.ndarray:
         arr = np.concatenate([arr, np.zeros(pad + 8, np.uint8)])
     else:
         arr = np.concatenate([arr, np.zeros(8, np.uint8)])
-    return arr.view(">u4").astype(np.uint32).view(np.int32)
+    words = arr.view(">u4").astype(np.uint32).view(np.int32)
+    if bucket:
+        n = max(4096, 1 << (len(words) - 1).bit_length())
+        if n > len(words):
+            words = np.concatenate([words, np.zeros(n - len(words), np.int32)])
+    return words
 
 
 def make_verifier(cfg):

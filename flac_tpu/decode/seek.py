@@ -193,7 +193,7 @@ class SeekableDecoder:
                                sample_rate=si.sample_rate)
         dec = build_frame_decoder(geom)
         if not hasattr(self, "_jwords"):
-            self._jwords = jnp.asarray(bytes_to_words(self.data))
+            self._jwords = jnp.asarray(bytes_to_words(self.data, bucket=True))
         B = 64
         parts: list[np.ndarray] = []
         end = 0

@@ -149,7 +149,7 @@ class StreamDecoder:
         # start the word-stream upload first (async) so it overlaps the
         # host-side sync scan of index_frames
         import jax.numpy as jnp
-        jwords = jnp.asarray(bytes_to_words(self.d))
+        jwords = jnp.asarray(bytes_to_words(self.d, bucket=True))
         offsets = index_frames(self.d, self.audio_offset, si)
         if offsets is None:
             pcm, frames = hd.HostDecoder(self.data_bytes, check_md5=self.check_md5).decode_all()

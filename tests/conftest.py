@@ -113,3 +113,17 @@ def make_signal(n: int, channels: int, bps: int, seed: int = 0, kind: str = "sin
         else:
             raise ValueError(kind)
     return out
+
+
+# -- xdist crash retry --------------------------------------------------------
+# XLA:CPU's compiler segfaults flakily after many large compilations in one
+# process (a different test each run). When a worker dies, reschedule its
+# test once on a fresh worker instead of reporting a phantom failure.
+_crash_retried: set = set()
+
+
+def pytest_handlecrashitem(crashitem, report, sched):
+    if crashitem not in _crash_retried:
+        _crash_retried.add(crashitem)
+        sched.mark_test_pending(crashitem)
+        report.outcome = "rerun"

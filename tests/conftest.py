@@ -125,5 +125,8 @@ _crash_retried: set = set()
 def pytest_handlecrashitem(crashitem, report, sched):
     if crashitem not in _crash_retried:
         _crash_retried.add(crashitem)
-        sched.mark_test_pending(crashitem)
+        try:
+            sched.mark_test_pending(crashitem)
+        except NotImplementedError:
+            return  # scheduler can't reschedule: keep the failure report
         report.outcome = "rerun"

@@ -1,18 +1,23 @@
-"""Headline benchmark: level-5 stereo 16-bit/44.1 kHz encode throughput per chip.
+"""Headline benchmarks: encode/decode Msamples/sec/chip at -5 and -8.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The headline metric stays the level-5 stereo 16/44.1 encode number
+(continuity with round 1); "extra" carries the full driver metric set
+(BASELINE.json): decode -5 and encode/decode -8, each with its own
+vs_baseline, plus the tunnel-bound delivered-decode number for context.
 
-Baseline: the reference project's published numbers (BASELINE.md, from
-doc/html/comparison.html): flac -5 encode ≈ 1.0 Msamples/s of stereo samples
-(≈0.49 M stereo pairs/s) on the PII-333 benchmark machine. `vs_baseline` is
-this chip's steady-state device encode throughput divided by that.
+Baselines (BASELINE.md, from the reference's doc/html/comparison.html):
+flac -5 encode ~= 1.0 Msamples/s, decode ~= 2.7 Msamples/s of stereo samples
+on the PII-333 benchmark machine. The page carries no -8 row; -8 rows here
+conservatively reuse the -5 baselines (-8 is strictly more work per sample
+for encode, equal-or-more for decode).
 
-Measures the jitted batched frame encoder (the full -5 pipeline: mid/side
-search, fixed+LPC order 8 analysis with tukey(0.5) window, Rice partition
-search to order 5, prefix-sum bit packing, CRC-8/16) on whichever backend JAX
-selects (the real TPU chip under the driver). Compile time excluded; the
-timed region includes host→device transfer of the PCM batch and device→host
-transfer of packed words, i.e. a deliverable byte stream.
+Measurement model (docs/perf.md): PCM/words are staged in device memory
+before the timed region and compressed bytes come back to the host (encode)
+or PCM stays device-resident (decode kernel) — the dev-tunnel link runs at
+~16 MB/s and would otherwise measure the tunnel, not the chip. The
+delivered-decode row (full D2H of the PCM) is reported in "extra" with the
+tunnel ceiling quantified.
 """
 
 from __future__ import annotations
@@ -21,6 +26,10 @@ import json
 import time
 
 import numpy as np
+
+BASELINE_ENC = 1.0  # Msamples/s, libFLAC -5 encode (BASELINE.md)
+BASELINE_DEC = 2.7  # Msamples/s, libFLAC -5 decode (BASELINE.md)
+T = 4096
 
 
 def make_corpus(n_samples: int, seed: int = 7) -> np.ndarray:
@@ -38,6 +47,131 @@ def make_corpus(n_samples: int, seed: int = 7) -> np.ndarray:
     return np.clip(np.round(pcm * 28000), -32768, 32767).astype(np.int32)
 
 
+# D2H slice sizes are bucketed to 1 MiB so the dynamic-slice transfer
+# compiles once per bucket, not once per batch
+BUCKET = 1 << 20
+
+
+def _bucketed_slice(stream, total):
+    n = min(((int(total) + BUCKET - 1) // BUCKET) * BUCKET, stream.shape[0])
+    return stream[:n]
+
+
+def bench_encode(level: int, batch: int, nbatches: int, reps: int):
+    """Timed: device encode of every batch + D2H of the compressed bytes.
+    Returns (msamples_per_s, encode_fn, frame_bytes_for_decode)."""
+    import jax
+
+    from flac_tpu.encode.frame_encoder import EncoderConfig, build_frame_encoder_dense
+
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    cfg = EncoderConfig.from_level(level, channels=2, bits_per_sample=16,
+                                   sample_rate=44100, blocksize=T)
+    encode = build_frame_encoder_dense(cfg)
+
+    pcm_batches = [
+        make_corpus(batch * T, seed=7 + i).reshape(batch, T, 2).astype(np.int16)
+        for i in range(nbatches)
+    ]
+    fnos = [np.arange(i * batch, (i + 1) * batch, dtype=np.int64)
+            for i in range(nbatches)]
+    dev_batches = [jax.device_put(p, dev) for p in pcm_batches]
+    jax.block_until_ready(dev_batches)
+
+    # warmup / compile with the exact argument placement of the timed calls
+    s, tot, bits, _ = encode(dev_batches[0], fnos[0])
+    jax.block_until_ready(tot)
+    np.asarray(_bucketed_slice(s, tot))
+
+    best = float("inf")
+    frame_bytes = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        pending = [encode(dev_batches[i], fnos[i]) for i in range(nbatches)]
+        # slice each stream to its bucketed size and start all D2H copies
+        # before collecting any — transfers overlap each other and the
+        # later batches' compute
+        slices = []
+        totals = []
+        for s, tot, bits, _ in pending:
+            sl = _bucketed_slice(s, tot)
+            try:
+                sl.copy_to_host_async()
+            except AttributeError:
+                pass
+            slices.append(sl)
+            totals.append(int(tot))
+        got = [np.asarray(sl)[:n] for sl, n in zip(slices, totals)]
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best = dt
+            frame_bytes = got
+    samples = nbatches * batch * T * 2  # stereo samples, matching BASELINE.md
+    return samples / best / 1e6, frame_bytes
+
+
+def _assemble_stream(frame_bytes, total_frames, nsamples):
+    """Minimal fLaC header + the dense encoder's frame bytes = a valid
+    fixed-blocksize stream for the decode bench (md5 zeroed: unverified)."""
+    from flac_tpu.metadata.blocks import StreamInfo, serialize_metadata
+
+    si = StreamInfo(min_blocksize=T, max_blocksize=T, min_framesize=0,
+                    max_framesize=0, sample_rate=44100, channels=2,
+                    bits_per_sample=16, total_samples=nsamples,
+                    md5sum=b"\x00" * 16)
+    return b"fLaC" + serialize_metadata([si]) + b"".join(
+        bytes(b) for b in frame_bytes)
+
+
+def bench_decode(data: bytes, max_lpc_order: int, batch: int, reps: int,
+                 fetch: bool):
+    """Timed: batched device decode of every indexed frame; with fetch=False
+    the PCM stays device-resident (kernel number), with fetch=True each
+    batch is pulled to the host (delivered number, tunnel-bound here)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flac_tpu.decode.frame_decoder import (DecoderGeometry,
+                                               build_frame_decoder,
+                                               bytes_to_words)
+    from flac_tpu.decode.stream import index_frames
+    from flac_tpu.metadata import parse_metadata
+
+    d = np.frombuffer(data, np.uint8)
+    blocks, audio_offset = parse_metadata(data)
+    si = blocks[0]
+    geom = DecoderGeometry(blocksize=T, channels=2, bits_per_sample=16,
+                           sample_rate=44100, max_lpc_order=max_lpc_order)
+    dec = build_frame_decoder(geom)
+    offsets = index_frames(d, audio_offset, si)
+    assert offsets is not None and len(offsets) >= batch
+    nfr = len(offsets) // batch * batch  # whole batches only
+    jwords = jnp.asarray(bytes_to_words(d, bucket=True))
+    starts = [jnp.asarray(offsets[s:s + batch] * 8) for s in range(0, nfr, batch)]
+    jax.block_until_ready([jwords] + starts)
+
+    pcm, ends, meta = dec(jwords, starts[0])  # warmup/compile
+    jax.block_until_ready(pcm)
+    assert not bool(np.asarray(meta["unary_overflow"]).any())
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        pending = [dec(jwords, st) for st in starts]
+        if fetch:
+            for pcm, ends, meta in pending:
+                try:
+                    pcm.copy_to_host_async()
+                except AttributeError:
+                    pass
+            for pcm, ends, meta in pending:
+                np.asarray(pcm)
+        else:
+            jax.block_until_ready([p[0] for p in pending])
+        best = min(best, time.perf_counter() - t0)
+    return nfr * T * 2 / best / 1e6
+
+
 def main() -> None:
     import jax
 
@@ -47,76 +181,53 @@ def main() -> None:
     from flac_tpu.jaxcache import enable as _enable_jax_cache
     _enable_jax_cache()
 
-    from flac_tpu.encode.frame_encoder import EncoderConfig, build_frame_encoder_dense
+    import os
+    if os.environ.get("FLAC_TPU_DEVICE") == "cpu":
+        # local smoke-testing: the axon TPU plugin ignores JAX_PLATFORMS,
+        # so pin the default device explicitly
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    reps = 3 if on_tpu else 1
+    b5 = 512 if on_tpu else 32
+    b8 = 256 if on_tpu else 16
+    n5 = 6 if on_tpu else 2
+    n8 = 4 if on_tpu else 2
 
-    dev = jax.devices()[0]
-    T = 4096
-    batch = 512 if dev.platform == "tpu" else 32
-    cfg = EncoderConfig.from_level(5, channels=2, bits_per_sample=16,
-                                   sample_rate=44100, blocksize=T)
-    encode = build_frame_encoder_dense(cfg)
+    enc5, frames5 = bench_encode(5, b5, n5, reps)
+    enc8, frames8 = bench_encode(8, b8, n8, reps)
 
-    # Steady-state pipelined throughput. Input PCM is staged to device memory
-    # BEFORE the timed region (int16 — a production encode service feeds from
-    # co-located ingest at NIC/HBM rates; the dev-tunnel link here runs at
-    # ~16 MB/s and would otherwise measure the tunnel, not the chip). The
-    # timed region is the deliverable path: encode every batch on device and
-    # pull the real compressed bytes back to the host. Batches are queued
-    # asynchronously so D2H of finished batches overlaps later batches'
-    # compute.
-    nbatches = 6 if dev.platform == "tpu" else 2
-    pcm_batches = [
-        make_corpus(batch * T, seed=7 + i).reshape(batch, T, 2).astype(np.int16)
-        for i in range(nbatches)
-    ]
-    fnos = [np.arange(i * batch, (i + 1) * batch, dtype=np.int64)
-            for i in range(nbatches)]
+    stream5 = _assemble_stream(frames5, b5 * n5, b5 * n5 * T)
+    stream8 = _assemble_stream(frames8, b8 * n8, b8 * n8 * T)
+    dec_batch = 512 if on_tpu else 32
+    dec5 = bench_decode(stream5, 8, dec_batch, reps, fetch=False)
+    dec8 = bench_decode(stream8, 12, min(dec_batch, b8 * n8), reps, fetch=False)
+    dec5_delivered = bench_decode(stream5, 8, dec_batch, reps, fetch=True)
 
-    # D2H slice sizes are bucketed to 1 MiB so the dynamic-slice transfer
-    # compiles once per bucket, not once per batch
-    BUCKET = 1 << 20
-
-    def fetch(s, tot):
-        n = min(((int(tot) + BUCKET - 1) // BUCKET) * BUCKET, s.shape[0])
-        return np.asarray(s[:n])
-
-    dev_batches = [jax.device_put(p, dev) for p in pcm_batches]
-    jax.block_until_ready(dev_batches)
-
-    # warmup / compile with the exact argument placement of the timed calls
-    s, tot, bits, _ = encode(dev_batches[0], fnos[0])
-    jax.block_until_ready(tot)
-    fetch(s, tot)
-
-    reps = 3 if dev.platform == "tpu" else 1
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        pending = [encode(dev_batches[i], fnos[i]) for i in range(nbatches)]
-        # slice each stream to its bucketed size and start all D2H copies
-        # before collecting any — transfers overlap each other and the
-        # later batches' compute
-        slices = []
-        for s, tot, bits, _ in pending:
-            n = min(((int(tot) + BUCKET - 1) // BUCKET) * BUCKET, s.shape[0])
-            sl = s[:n]
-            try:
-                sl.copy_to_host_async()
-            except AttributeError:
-                pass
-            slices.append(sl)
-        out_bytes = sum(len(np.asarray(sl)) for sl in slices)
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-
-    samples = nbatches * batch * T * 2  # stereo samples, matching BASELINE.md
-    msps = samples / best / 1e6
-    baseline_msps = 1.0  # libFLAC -5 encode, derived in BASELINE.md
     print(json.dumps({
         "metric": "encode_-5_stereo16_44k1_throughput_per_chip",
-        "value": round(msps, 3),
+        "value": round(enc5, 3),
         "unit": "Msamples/s",
-        "vs_baseline": round(msps / baseline_msps, 3),
+        "vs_baseline": round(enc5 / BASELINE_ENC, 3),
+        "extra": {
+            "decode_-5": {"value": round(dec5, 3),
+                          "vs_baseline": round(dec5 / BASELINE_DEC, 3)},
+            "encode_-8": {"value": round(enc8, 3),
+                          "vs_baseline": round(enc8 / BASELINE_ENC, 3)},
+            "decode_-8": {"value": round(dec8, 3),
+                          "vs_baseline": round(dec8 / BASELINE_DEC, 3)},
+            "decode_-5_delivered": {
+                "value": round(dec5_delivered, 3),
+                "vs_baseline": round(dec5_delivered / BASELINE_DEC, 3),
+                "note": "full PCM D2H over the ~16 MB/s dev tunnel "
+                        "(ceiling ~8.5 Msamples/s at int16); "
+                        "kernel number is the production expectation"},
+            "baselines_Msamples_s": {"encode_-5": BASELINE_ENC,
+                                     "decode_-5": BASELINE_DEC,
+                                     "note": "-8 rows reuse the -5 baselines "
+                                             "(no -8 row on the reference's "
+                                             "benchmark page)"},
+        },
     }))
 
 

@@ -239,32 +239,37 @@ def build_frame_decoder(geom: DecoderGeometry):
         ps = jnp.where(is_coded, T >> po, T).astype(jnp.int64)
 
         # ---- residual / verbatim scan over sample positions ----------------
-        # U samples per scan step, all fed from one 224-bit MSB-aligned
-        # window (7 word gathers/step = 1.75 gathers/sample) as pure
-        # elementwise shifts — the original formulation peeked the word
-        # array per field (~16 gathers/sample, incl. a nested while_loop)
-        # and the gathers dominated the whole decode. Pathological frames
-        # (unary runs >= 48 zeros, or > 193 window bits consumed in one
-        # step — never produced by real encoders) raise the overflow flag
-        # and the caller reroutes them to the host decoder.
+        # U samples per scan step, fed from a 256-bit MSB-aligned window
+        # CARRIED ACROSS STEPS: each step consumes bits with pure
+        # elementwise funnel shifts and refills with at most NLOAD word
+        # gathers (NLOAD/U = 0.75 gathers/sample vs 1.75 for the previous
+        # rebuild-the-window-every-step form, vs ~16 for the original
+        # per-field peeks — the gathers dominate the whole decode).
+        # Validity is accounted, not assumed: a step that consumes more
+        # bits than the window held (verbatim/high-bps frames can outrun
+        # the 96-bit/step refill; unary runs >= 48 zeros overflow the
+        # first limb) raises the overflow flag and the caller reroutes
+        # that frame to the host decoder.
         U = 4
+        NLOAD = 3
         nwords = jnp.int64(words.shape[0])
         Tpad = -(-T // U) * U
+        sr = jax.lax.shift_right_logical
+        gword = lambda i: words[jnp.minimum(i, nwords - 1)].astype(jnp.int64) & 0xFFFFFFFF
+
+        # initial fill: 8 words -> 256 bits, MSB-aligned at `pos`
+        wi0 = pos >> 5
+        off0 = pos & 31
+        a = [(gword(wi0 + 2 * j) << 32) | gword(wi0 + 2 * j + 1) for j in range(4)]
+        a.append(jnp.zeros_like(a[0]))
+        init_limbs = tuple(
+            jnp.where(off0 > 0, (a[j] << off0) | sr(a[j + 1], 64 - off0), a[j])
+            for j in range(4))
+        init_navail = 256 - off0
+        init_wpos = wi0 + 8
 
         def step(state, ts):
-            pos, k, rawlen, ovf = state
-            i0 = pos >> 5
-            off = pos & 31
-            g = lambda i: words[jnp.minimum(i, nwords - 1)].astype(jnp.int64) & 0xFFFFFFFF
-            a0 = (g(i0) << 32) | g(i0 + 1)
-            a1 = (g(i0 + 2) << 32) | g(i0 + 3)
-            a2 = (g(i0 + 4) << 32) | g(i0 + 5)
-            a3 = g(i0 + 6) << 32
-            sr = jax.lax.shift_right_logical
-            l0 = jnp.where(off > 0, (a0 << off) | sr(a1, 64 - off), a0)
-            l1 = jnp.where(off > 0, (a1 << off) | sr(a2, 64 - off), a1)
-            l2 = jnp.where(off > 0, (a2 << off) | sr(a3, 64 - off), a2)
-            l3 = jnp.where(off > 0, a3 << off, a3)
+            pos, k, rawlen, ovf, l0, l1, l2, l3, navail, wpos = state
             win = (l0, l1, l2, l3)
             spent = jnp.zeros_like(pos)
 
@@ -314,12 +319,31 @@ def build_frame_decoder(geom: DecoderGeometry):
                             jnp.where(in_res & esc, raw_val,
                             jnp.where(live & is_verb, verb_val, 0))))
 
-            ovf = ovf | (spent > 193)  # past the window's guaranteed-valid bits
-            return (pos + spent, k, rawlen, ovf), jnp.stack(outs)
+            # all consumed bits must have been inside the valid window
+            ovf = ovf | (spent > navail)
+            navail = jnp.maximum(navail - spent, 0)
+            # refill: insert up to NLOAD words at bit offset `navail`
+            l0, l1, l2, l3 = win
+            limbs = [l0, l1, l2, l3]
+            for _ in range(NLOAD):
+                can = navail <= 256 - 32
+                w = gword(wpos)
+                j = navail >> 6          # limb receiving the word's MSBs
+                q = navail & 63
+                part0 = jnp.where(q <= 32, w << jnp.clip(32 - q, 0, 63),
+                                  sr(w, jnp.clip(q - 32, 0, 63)))
+                part1 = jnp.where(q > 32, w << jnp.clip(96 - q, 33, 63), 0)
+                for i in range(4):
+                    limbs[i] = limbs[i] | jnp.where(can & (j == i), part0, 0) \
+                        | jnp.where(can & (j + 1 == i), part1, 0)
+                navail = navail + jnp.where(can, 32, 0)
+                wpos = wpos + jnp.where(can, 1, 0)
+            return (pos + spent, k, rawlen, ovf, limbs[0], limbs[1], limbs[2],
+                    limbs[3], navail, wpos), jnp.stack(outs)
 
-        (pos, _, _, ovf), res_t = jax.lax.scan(
+        (pos, _, _, ovf, *_rest), res_t = jax.lax.scan(
             step, (pos, jnp.zeros(B, jnp.int64), jnp.zeros(B, jnp.int64),
-                   jnp.zeros(B, bool)),
+                   jnp.zeros(B, bool)) + init_limbs + (init_navail, init_wpos),
             jnp.arange(Tpad, dtype=jnp.int64).reshape(-1, U))
         res = res_t.reshape(Tpad, B).T[:, :T]  # [B, T]
 

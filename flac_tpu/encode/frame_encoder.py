@@ -329,7 +329,8 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
             folded = jnp.where(validt, folded, 0)
             sugg = _suggested_param(rbps_fixed, limit)
             rs = rice.rice_search(absres, folded, jnp.broadcast_to(orders5, errs.shape).astype(jnp.int32),
-                                  sugg, T, min_po, max_po, limit)
+                                  sugg, T, min_po, max_po, limit,
+                                  do_escape=cfg.do_escape_coding)
             bits = (pre[..., None] + orders5.astype(jnp.int64) * bps_eff[..., None]
                     + rs.approx_bits)
             if exhaustive:
@@ -346,6 +347,7 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
                 model_meta.append(dict(
                     type=C.SUBFRAME_TYPE_FIXED, order=jnp.full((B, K), o, jnp.int32),
                     po=rs.partition_order[..., o], params=rs.params_leaf[..., o, :],
+                    raws=rs.raw_bits_leaf[..., o, :],
                     rice2=rs.is_rice2[..., o], exact=rs.exact_bits[..., o],
                     qlp=None, prec=None, shift=None))
 
@@ -392,7 +394,8 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
             validt = tvec >= orders[..., None]
             absres = jnp.where(validt, absres, 0)
             folded = jnp.where(validt, folded, 0)
-            rs = rice.rice_search(absres, folded, orders, sugg, T, min_po, max_po, limit)
+            rs = rice.rice_search(absres, folded, orders, sugg, T, min_po, max_po,
+                                  limit, do_escape=cfg.do_escape_coding)
             bits = (pre[..., None, None] + 9
                     + orders.astype(jnp.int64) * (prec + bps_eff[..., None, None]).astype(jnp.int64)
                     + rs.approx_bits)
@@ -408,6 +411,7 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
                         type=C.SUBFRAME_TYPE_LPC, order=orders[:, :, a, oi],
                         po=rs.partition_order[:, :, a, oi],
                         params=rs.params_leaf[:, :, a, oi, :],
+                        raws=rs.raw_bits_leaf[:, :, a, oi, :],
                         rice2=rs.is_rice2[:, :, a, oi], exact=rs.exact_bits[:, :, a, oi],
                         qlp=qlp[:, :, a, oi, :], prec=prec[:, :, a, oi],
                         shift=shift[:, :, a, oi]))
@@ -451,6 +455,8 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
         sel_order = jnp.where(is_model, gather_meta("order", 0, jnp.int32), 0)
         sel_po = jnp.where(is_model, gather_meta("po", 0, jnp.int32), 0)
         sel_params = gather_meta("params", 0, jnp.int32, (nleaf,))
+        sel_raws = (gather_meta("raws", 0, jnp.int32, (nleaf,))
+                    if cfg.do_escape_coding else None)
         sel_rice2 = is_model & gather_meta("rice2", False, bool)
         sel_exact_res = gather_meta("exact", 0, jnp.int64)
         sel_qlp = gather_meta("qlp", 0, jnp.int32, (maxord,) if maxord else (1,))
@@ -588,18 +594,39 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
             at_boundary = (tvec[None, :] % ps[:, None]) == 0
             plen = jnp.where(c_rice2, 5, 4).astype(jnp.int32)
             leafsz = max(T >> max_po, 1)
-            if leafsz * nleaf == T:
-                # uniform leaves: broadcast+reshape instead of a [B,T] gather
-                # (the gather was one of the hottest ops of the encode on TPU)
-                k_t = jnp.broadcast_to(c_params[:, :, None],
-                                       (B, nleaf, leafsz)).reshape(B, T).astype(jnp.int64)
-            else:
-                k_t = jnp.take_along_axis(
-                    c_params, leaf_of_t[None, :].repeat(B, 0), axis=1).astype(jnp.int64)
+
+            def leaf_to_samples(leaf_arr):
+                if leafsz * nleaf == T:
+                    # uniform leaves: broadcast+reshape instead of a [B,T]
+                    # gather (the gather was one of the hottest encode ops)
+                    return jnp.broadcast_to(leaf_arr[:, :, None],
+                                            (B, nleaf, leafsz)).reshape(B, T).astype(jnp.int64)
+                return jnp.take_along_axis(
+                    leaf_arr, leaf_of_t[None, :].repeat(B, 0), axis=1).astype(jnp.int64)
+
+            k_t = leaf_to_samples(c_params)
             param_n = jnp.where(is_coded[:, None] & at_boundary, plen[:, None], 0)
             param_v = jnp.where(param_n > 0, k_t, 0)
             cw_n_coded = ((c_folded >> k_t) + 1 + k_t)
             cw_v_coded = (jnp.int64(1) << k_t) | (c_folded & ((jnp.int64(1) << k_t) - 1))
+            if cfg.do_escape_coding:
+                # escaped partitions: the boundary field becomes
+                # <escape param><5-bit raw length>, and every codeword is the
+                # residual at the raw width (stream_encoder_framing.c:478-537)
+                raw_t = leaf_to_samples(g(sel_raws))
+                esc_t = raw_t > 0
+                pesc_c = jnp.where(
+                    c_rice2, C.ENTROPY_CODING_METHOD_PARTITIONED_RICE2_ESCAPE_PARAMETER,
+                    C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_ESCAPE_PARAMETER
+                ).astype(jnp.int64)[:, None]
+                param_n = jnp.where(param_n > 0,
+                                    jnp.where(esc_t, param_n + 5, param_n), 0)
+                param_v = jnp.where(param_n > 0,
+                                    jnp.where(esc_t, (pesc_c << 5) | raw_t, k_t), 0)
+                cw_n_coded = jnp.where(esc_t, raw_t, cw_n_coded)
+                cw_v_coded = jnp.where(esc_t,
+                                       mask_to(c_res.astype(jnp.int64), raw_t),
+                                       cw_v_coded)
             valid_res = tvec[None, :] >= c_order[:, None]
             cw_n = jnp.where(is_coded[:, None] & valid_res, cw_n_coded,
                              jnp.where(is_verb[:, None], c_bps[:, None], 0))

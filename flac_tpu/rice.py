@@ -35,6 +35,7 @@ class RiceSearchResult(NamedTuple):
     partition_order: jnp.ndarray  # [...] int32
     params_leaf: jnp.ndarray   # [..., 2^max_po] int32, chosen params at leaf granularity
     is_rice2: jnp.ndarray      # [...] bool
+    raw_bits_leaf: jnp.ndarray  # [..., 2^max_po] int32; >0 where the partition is escaped
 
 
 from flac_tpu.dsp.bitmath import bitlen64 as _bitlen  # exact, TPU-legal
@@ -48,7 +49,7 @@ def fold_residual(res: jnp.ndarray) -> jnp.ndarray:
 
 def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
                 suggested: jnp.ndarray, blocksize: int, min_po: int, max_po: int,
-                rice_limit: int) -> RiceSearchResult:
+                rice_limit: int, do_escape: bool = False) -> RiceSearchResult:
     """Search partition orders [min_po, max_po] for the best Rice coding.
 
     absres: [..., T] int64 |residual| (zeros at t < order) — the reference's
@@ -61,6 +62,9 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
     parameter (used for partition order 0, stream_encoder.c:3997-4032).
     Static: blocksize (== T), min_po/max_po (already limited by the blocksize
     factorization, format.c:538), rice_limit (15, or 31 when stream bps > 16).
+    do_escape: search escaped (raw-bits) partitions too
+    (precompute_partition_info_escapes_, stream_encoder.c:3844; escape
+    selection in set_partitioned_rice_, :4012-4021). Off in every preset.
     """
     T = blocksize
     batch = folded.shape[:-1]
@@ -73,9 +77,21 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
         prev = sums_by_po[po + 1]
         sums_by_po[po] = prev[..., 0::2] + prev[..., 1::2]
 
+    if do_escape:
+        # per-partition range mask rmax = OR(r >= 0 ? r : ~r) == OR(folded >> 1)
+        # (stream_encoder.c:3867-3880); raw width = ilog2(rmax)+2, min 1.
+        # max-reduce instead of OR: bitlen(max) == bitlen(OR) for non-negative
+        # values, and only the bit length feeds the raw width.
+        leaf_rmax = (folded >> 1).reshape(batch + (nleaf, ps_leaf)).max(axis=-1)
+        rmax_by_po: dict[int, jnp.ndarray] = {max_po: leaf_rmax}
+        for po in range(max_po - 1, -1, -1):
+            prev = rmax_by_po[po + 1]
+            rmax_by_po[po] = jnp.maximum(prev[..., 0::2], prev[..., 1::2])
+
     t = jnp.arange(T)
     totals = []
     params_leaf_by_po = []
+    raws_leaf_by_po = []
     po_list = list(range(max_po, min_po - 1, -1))  # descending: ties keep higher po
     for po in po_list:
         nparts = 1 << po
@@ -95,6 +111,19 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
                      + (1 + k64) * n_p
                      + jnp.where(k64 > 0, sums >> jnp.maximum(k64 - 1, 0), sums << 1)
                      - (n_p >> 1))
+        if do_escape:
+            # escape estimate: 5-bit RICE2 param + 5-bit raw length + raw
+            # payload (stream_encoder.c:4012-4021); escape wins ties (<=)
+            rawb = jnp.where(rmax_by_po[po] > 0,
+                             _bitlen(rmax_by_po[po]) + 1, 1).astype(jnp.int64)
+            esc_bits = (C.ENTROPY_CODING_METHOD_PARTITIONED_RICE2_PARAMETER_LEN
+                        + C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_RAW_LEN
+                        + rawb * n_p)
+            use_esc = (esc_bits <= part_bits) & (rawb <= 31)  # must fit 5 bits
+            part_bits = jnp.where(use_esc, esc_bits, part_bits)
+            k = jnp.where(use_esc, 0, k)  # stored parameter is 0 when escaped
+            raw_p = jnp.where(use_esc, rawb, 0).astype(jnp.int32)
+            raws_leaf_by_po.append(jnp.repeat(raw_p, nleaf // nparts, axis=-1))
         total = (C.ENTROPY_CODING_METHOD_TYPE_LEN
                  + C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_ORDER_LEN
                  + part_bits.sum(axis=-1))
@@ -113,12 +142,22 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
     params_stack = jnp.stack(params_leaf_by_po, axis=-2)  # [..., n_po, nleaf]
     params_leaf = jnp.take_along_axis(
         params_stack, best_idx[..., None, None], axis=-2)[..., 0, :]
+    if do_escape:
+        raws_stack = jnp.stack(raws_leaf_by_po, axis=-2)
+        raw_leaf = jnp.take_along_axis(
+            raws_stack, best_idx[..., None, None], axis=-2)[..., 0, :]
+    else:
+        raw_leaf = jnp.zeros_like(params_leaf)
 
     # exact bits for the chosen parameters: sum over valid samples of
-    # (u >> k) + 1 + k, plus the per-partition parameter fields
+    # (u >> k) + 1 + k (or the raw width in escaped partitions), plus the
+    # per-partition parameter fields (+5-bit raw length per escaped one)
     k_samp = jnp.repeat(params_leaf, ps_leaf, axis=-1).astype(jnp.int64)  # [..., T]
     valid = t >= order[..., None]
     cw_bits = jnp.where(valid, (folded >> k_samp) + 1 + k_samp, 0)
+    if do_escape:
+        raw_samp = jnp.repeat(raw_leaf, ps_leaf, axis=-1).astype(jnp.int64)
+        cw_bits = jnp.where(valid & (raw_samp > 0), raw_samp, cw_bits)
     is_rice2 = jnp.any(params_leaf >= C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_ESCAPE_PARAMETER,
                        axis=-1)
     plen = jnp.where(is_rice2,
@@ -128,6 +167,12 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
     exact = (C.ENTROPY_CODING_METHOD_TYPE_LEN
              + C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_ORDER_LEN
              + plen * nparts_chosen + cw_bits.sum(axis=-1))
+    if do_escape:
+        # 5-bit raw-length field per escaped partition; escaped leaves all
+        # carry the same raw width, so count partitions via leaves >> (Δpo)
+        n_esc_leaves = jnp.sum((raw_leaf > 0).astype(jnp.int64), axis=-1)
+        n_esc = n_esc_leaves >> (max_po - best_po).astype(jnp.int64)
+        exact = exact + C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_RAW_LEN * n_esc
     return RiceSearchResult(approx_bits=approx_bits, exact_bits=exact,
                             partition_order=best_po, params_leaf=params_leaf,
-                            is_rice2=is_rice2)
+                            is_rice2=is_rice2, raw_bits_leaf=raw_leaf)

@@ -124,10 +124,12 @@ def _assemble_stream(frame_bytes, total_frames, nsamples):
 
 
 def bench_decode(data: bytes, max_lpc_order: int, batch: int, reps: int,
-                 fetch: bool):
+                 fetch: bool, expect: np.ndarray | None = None):
     """Timed: batched device decode of every indexed frame; with fetch=False
     the PCM stays device-resident (kernel number), with fetch=True each
-    batch is pulled to the host (delivered number, tunnel-bound here)."""
+    batch is pulled to the host (delivered number, tunnel-bound here).
+    `expect` (first batch's PCM) cross-checks correctness outside the timed
+    region — a throughput number for wrong samples is worthless."""
     import jax
     import jax.numpy as jnp
 
@@ -153,6 +155,9 @@ def bench_decode(data: bytes, max_lpc_order: int, batch: int, reps: int,
     pcm, ends, meta = dec(jwords, starts[0])  # warmup/compile
     jax.block_until_ready(pcm)
     assert not bool(np.asarray(meta["unary_overflow"]).any())
+    if expect is not None:
+        got = np.asarray(pcm).astype(np.int32).reshape(expect.shape)
+        assert np.array_equal(got, expect), "decode bench output != input PCM"
 
     best = float("inf")
     for _ in range(reps):
@@ -200,8 +205,13 @@ def main() -> None:
     stream5 = _assemble_stream(frames5, b5 * n5, b5 * n5 * T)
     stream8 = _assemble_stream(frames8, b8 * n8, b8 * n8 * T)
     dec_batch = 512 if on_tpu else 32
-    dec5 = bench_decode(stream5, 8, dec_batch, reps, fetch=False)
-    dec8 = bench_decode(stream8, 12, min(dec_batch, b8 * n8), reps, fetch=False)
+    dec_batch8 = min(dec_batch, b8 * n8)
+    expect5 = np.concatenate([make_corpus(b5 * T, seed=7 + i).reshape(b5, T, 2)
+                              for i in range(n5)])[:dec_batch]
+    expect8 = np.concatenate([make_corpus(b8 * T, seed=7 + i).reshape(b8, T, 2)
+                              for i in range(n8)])[:dec_batch8]
+    dec5 = bench_decode(stream5, 8, dec_batch, reps, fetch=False, expect=expect5)
+    dec8 = bench_decode(stream8, 12, dec_batch8, reps, fetch=False, expect=expect8)
     dec5_delivered = bench_decode(stream5, 8, dec_batch, reps, fetch=True)
 
     print(json.dumps({
@@ -219,9 +229,9 @@ def main() -> None:
             "decode_-5_delivered": {
                 "value": round(dec5_delivered, 3),
                 "vs_baseline": round(dec5_delivered / BASELINE_DEC, 3),
-                "note": "full PCM D2H over the ~16 MB/s dev tunnel "
-                        "(ceiling ~8.5 Msamples/s at int16); "
-                        "kernel number is the production expectation"},
+                "note": "full int16-PCM D2H over the dev tunnel; bounded by "
+                        "the link, not the chip — the kernel number is the "
+                        "production expectation"},
             "baselines_Msamples_s": {"encode_-5": BASELINE_ENC,
                                      "decode_-5": BASELINE_DEC,
                                      "note": "-8 rows reuse the -5 baselines "

@@ -755,7 +755,6 @@ def encode_one(path: str, o: Options, is_last: bool = True) -> int:
 def _decode_window(o: Options, data: bytes):
     """Decode with --skip/--until/--cue applied; returns (pcm, streaminfo)."""
     from flac_tpu.cli.specs import parse_cue, resolve_cue, resolve_skip_until
-    from flac_tpu.decode.host_decoder import HostDecoder, decode_bytes
     from flac_tpu.decode.stream import decode_bytes_device
     from flac_tpu.metadata import CueSheet
 
@@ -774,7 +773,12 @@ def _decode_window(o: Options, data: bytes):
         pcm = dec.decode_range(skip, until - skip)
         return pcm, si
     if o.decode_through_errors:
-        pcm, si, _frames = decode_bytes(data, check_md5=True, continue_on_error=True)
+        # -F: device decode with reference concealment semantics — corrupt
+        # frames come back zeroed (only those frames demote to the host
+        # decoder), parse failures resync, MD5 mismatch is a warning
+        pcm, si, info = decode_bytes_device(data, continue_on_error=True)
+        for err in info.get("errors", []):
+            o.say(1, f"WARNING: error while decoding ({err})")
         return pcm, si
     pcm, si, _info = decode_bytes_device(data)
     return pcm, si

@@ -40,6 +40,18 @@ class DecodeError(Exception):
     pass
 
 
+class CrcMismatchError(DecodeError):
+    """Frame parsed cleanly but its CRC-16 footer didn't match: the reference
+    delivers a ZEROED block via the error callback and keeps going
+    (stream_decoder.c:2106-2113), preserving stream-position alignment —
+    unlike parse/sync errors, where the frame is dropped and the decoder
+    rescans. `frame` carries the parsed geometry so callers can conceal."""
+
+    def __init__(self, msg: str, frame: "FrameInfo") -> None:
+        super().__init__(msg)
+        self.frame = frame
+
+
 @dataclass
 class FrameInfo:
     """Per-frame structure, the analog of FLAC__Frame + analysis data
@@ -55,6 +67,7 @@ class FrameInfo:
     frame_number: int
     sample_number: int
     subframes: list = field(default_factory=list)
+    concealed: bool = False  # delivered as a zeroed block after CRC mismatch
 
 
 @dataclass
@@ -296,7 +309,7 @@ class HostDecoder:
         nbytes = (r.pos >> 3) - byte_offset
         frame.size = nbytes
         if crc_mod.crc16(self.data[byte_offset : byte_offset + nbytes - 2]) != crc_stored:
-            raise DecodeError("frame CRC-16 mismatch")
+            raise CrcMismatchError("frame CRC-16 mismatch", frame)
         # undo inter-channel decorrelation (stream_decoder.c:2067-2103)
         if ca == C.CHANNEL_ASSIGNMENT_LEFT_SIDE:
             chans[1] = chans[0] - chans[1]
@@ -333,6 +346,21 @@ class HostDecoder:
         while pos < nbytes - 2:
             try:
                 pcm, frame = self.decode_frame_at(pos)
+            except CrcMismatchError as e:
+                if not self.continue_on_error:
+                    raise DecodeError(f"at byte {pos}: {e}") from e
+                # concealment: deliver a zeroed block and keep alignment
+                # (stream_decoder.c:2106-2113); the frame's channel count must
+                # match the stream's for the block to slot into the output
+                frame = e.frame
+                frame.concealed = True
+                self.errors.append(f"at byte {pos}: {e}")
+                if frame.channels == self.streaminfo.channels:
+                    pcm_parts.append(
+                        np.zeros((frame.blocksize, frame.channels), np.int32))
+                    frames.append(frame)
+                pos += frame.size
+                continue
             except (DecodeError, EOFError, ValueError, KeyError) as e:
                 if not self.continue_on_error:
                     raise DecodeError(f"at byte {pos}: {e}") from e

@@ -126,8 +126,10 @@ class StreamDecoder:
     """Whole-stream decoder using the device for the bulk of the frames."""
 
     def __init__(self, data: bytes, check_md5: bool = True, batch_frames: int = 64,
-                 max_lpc_order: int = 32):
+                 max_lpc_order: int = 32, continue_on_error: bool = False):
         self.data_bytes = bytes(data)
+        self.continue_on_error = continue_on_error
+        self.errors: list[str] = []
         self.d = np.frombuffer(self.data_bytes, np.uint8)
         pos = hd.skip_id3v2(self.data_bytes, 0)
         if self.data_bytes[pos:pos + 4] != C.STREAM_SYNC_STRING:
@@ -140,20 +142,25 @@ class StreamDecoder:
         self.batch_frames = batch_frames
         self.max_lpc_order = max_lpc_order
 
+    def _host_fallback(self, path: str) -> tuple[np.ndarray, dict]:
+        host = hd.HostDecoder(self.data_bytes, check_md5=self.check_md5,
+                              continue_on_error=self.continue_on_error)
+        pcm, frames = host.decode_all()
+        self.errors.extend(host.errors)
+        return pcm, dict(frames=len(frames), path=path)
+
     def decode_all(self, check_crc: bool = True) -> tuple[np.ndarray, dict]:
         si = self.streaminfo
         if si.min_blocksize != si.max_blocksize:
             # variable-blocksize stream: sequential path
-            pcm, frames = hd.HostDecoder(self.data_bytes, check_md5=self.check_md5).decode_all()
-            return pcm, dict(frames=len(frames), path="host")
+            return self._host_fallback("host")
         # start the word-stream upload first (async) so it overlaps the
         # host-side sync scan of index_frames
         import jax.numpy as jnp
         jwords = jnp.asarray(bytes_to_words(self.d, bucket=True))
         offsets = index_frames(self.d, self.audio_offset, si)
         if offsets is None:
-            pcm, frames = hd.HostDecoder(self.data_bytes, check_md5=self.check_md5).decode_all()
-            return pcm, dict(frames=len(frames), path="host-ambiguous")
+            return self._host_fallback("host-ambiguous")
         geom = DecoderGeometry(blocksize=si.min_blocksize, channels=si.channels,
                                bits_per_sample=si.bits_per_sample,
                                sample_rate=si.sample_rate,
@@ -186,19 +193,44 @@ class StreamDecoder:
                 if host is None:
                     host = hd.HostDecoder(self.data_bytes, check_md5=False)
                 for i in np.flatnonzero(ovf):
-                    fpcm, fi = host.decode_frame_at(int(batch_off[i]))
-                    pcm[i] = fpcm.reshape(pcm[i].shape)
-                    ends_np[i] = fi.offset + fi.size
+                    try:
+                        fpcm, fi = host.decode_frame_at(int(batch_off[i]))
+                        pcm[i] = fpcm.reshape(pcm[i].shape)
+                        ends_np[i] = fi.offset + fi.size
+                    except (hd.DecodeError, EOFError, ValueError, KeyError) as e:
+                        if not self.continue_on_error:
+                            raise hd.DecodeError(
+                                f"at byte {int(batch_off[i])}: {e}") from e
+                        # conceal: zero the block, trust the index for length
+                        self.errors.append(f"at byte {int(batch_off[i])}: {e}")
+                        pcm[i] = 0
+                        k = s + i
+                        ends_np[i] = offsets[k + 1] if k + 1 < nfr else len(self.d)
             ends_all[s:s + nb] = ends_np
             pcm_parts.append(pcm.reshape(-1, si.channels))
+        pcm = (np.concatenate(pcm_parts, axis=0) if pcm_parts
+               else np.zeros((0, si.channels), np.int32))
         # frame-length sanity: frame k must end at or before frame k+1's start
         if nfr:
             if np.any(ends_all[:-1] > offsets[1:]) or ends_all[-1] > len(self.d):
+                if self.continue_on_error:
+                    # index unreliable: redo the whole stream sequentially
+                    # with reference concealment semantics
+                    self.errors.append("frame length overrun — sequential redecode")
+                    return self._host_fallback("host-overrun")
                 raise StreamDecodeError("frame length overrun — corrupt stream?")
             if check_crc:
-                self._check_crc16(offsets, ends_all)
-        pcm = (np.concatenate(pcm_parts, axis=0) if pcm_parts
-               else np.zeros((0, si.channels), np.int32))
+                bad = self._check_crc16(offsets, ends_all)
+                if len(bad):
+                    if not self.continue_on_error:
+                        raise hd.DecodeError(
+                            f"frame CRC-16 mismatch in frame(s) {bad[:5].tolist()}")
+                    # conceal exactly like the reference (stream_decoder.c
+                    # :2106-2113): zero the affected blocks, keep decoding
+                    for k in bad:
+                        self.errors.append(
+                            f"at byte {int(offsets[k])}: frame CRC-16 mismatch")
+                        pcm[k * si.min_blocksize:(k + 1) * si.min_blocksize] = 0
         # the final partial frame (not in the index) decodes on the host
         tail_start = int(ends_all[-1]) if nfr else self.audio_offset
         frames = nfr
@@ -208,6 +240,15 @@ class StreamDecoder:
                 tail_pcm, fi = host.decode_frame_at(tail_start)
                 pcm = np.concatenate([pcm, tail_pcm], axis=0)
                 frames += 1
+            except hd.CrcMismatchError as e:
+                if self.continue_on_error and e.frame.channels == si.channels:
+                    self.errors.append(f"at byte {tail_start}: {e}")
+                    pcm = np.concatenate(
+                        [pcm, np.zeros((e.frame.blocksize, si.channels), np.int32)],
+                        axis=0)
+                    frames += 1
+                elif not self.continue_on_error:
+                    raise hd.DecodeError(f"at byte {tail_start}: {e}") from e
             except (hd.DecodeError, EOFError):
                 pass  # trailing garbage/padding
         if si.total_samples and len(pcm) > si.total_samples:
@@ -216,11 +257,14 @@ class StreamDecoder:
             md5 = MD5Context()
             md5.accumulate(pcm, si.bits_per_sample)
             if md5.digest() != si.md5sum:
-                raise hd.DecodeError("MD5 signature mismatch")
-        return pcm, dict(frames=frames, path="device")
+                if not self.continue_on_error:
+                    raise hd.DecodeError("MD5 signature mismatch")
+                self.errors.append("MD5 signature mismatch")
+        return pcm, dict(frames=frames, path="device", errors=self.errors)
 
-    def _check_crc16(self, offsets: np.ndarray, ends: np.ndarray) -> None:
-        """CRC-16 validation of every frame (stream_decoder.c:2061)."""
+    def _check_crc16(self, offsets: np.ndarray, ends: np.ndarray) -> np.ndarray:
+        """CRC-16 validation of every frame (stream_decoder.c:2061).
+        Returns the indices of mismatching frames."""
         lengths = ends - offsets
         stored = (self.d[np.minimum(offsets + lengths - 2, len(self.d) - 1)].astype(np.uint16) << 8) \
             | self.d[np.minimum(offsets + lengths - 1, len(self.d) - 1)]
@@ -236,14 +280,13 @@ class StreamDecoder:
             idx = np.minimum(offsets[:, None] + np.arange(maxlen)[None, :],
                              len(self.d) - 1)
             crcs = crc_mod.crc16_batch(self.d[idx], lengths - 2)
-        bad = np.flatnonzero(crcs != stored)
-        if len(bad):
-            raise hd.DecodeError(f"frame CRC-16 mismatch in frame(s) {bad[:5].tolist()}")
+        return np.flatnonzero(crcs != stored)
 
 
 def decode_bytes_device(data: bytes, check_md5: bool = True, batch_frames: int = 64,
-                        max_lpc_order: int = 32):
+                        max_lpc_order: int = 32, continue_on_error: bool = False):
     dec = StreamDecoder(data, check_md5=check_md5, batch_frames=batch_frames,
-                        max_lpc_order=max_lpc_order)
+                        max_lpc_order=max_lpc_order,
+                        continue_on_error=continue_on_error)
     pcm, info = dec.decode_all()
     return pcm, dec.streaminfo, info

@@ -102,6 +102,42 @@ class TestOracleOptionSweep:
             except Exception:
                 pass  # raising is acceptable; crashing/hanging is not
 
+    def test_conceal_byte_identical_to_oracle_F(self, tmp_path, oracle):
+        """`flac -d -F` output on a corrupted stream must be byte-identical
+        to the reference binary's: CRC-mismatching frames are delivered as
+        zeroed blocks, keeping every later sample aligned
+        (stream_decoder.c:2106-2113)."""
+        sig = make_signal(4096 * 4 + 1000, 2, 16, kind="sine", seed=3)
+        wav = tmp_path / "c.wav"
+        write_wav(str(wav), AudioBuffer(samples=sig, sample_rate=44100,
+                                        bits_per_sample=16))
+        clean = tmp_path / "c.flac"
+        subprocess.run([str(oracle), "-5", "-f", "-o", str(clean), str(wav)],
+                       check=True, capture_output=True)
+        data = clean.read_bytes()
+        from flac_tpu.decode.host_decoder import HostDecoder
+        _, frames = HostDecoder(data, check_md5=False).decode_all()
+        # corruption sites: the stored CRC-16 itself (frame parses cleanly,
+        # check fails -> pure concealment) and a mid-body residual byte
+        sites = [frames[1].offset + frames[1].size - 1,        # frame 1 CRC
+                 frames[3].offset + frames[3].size - 2,        # frame 3 CRC
+                 frames[2].offset + frames[2].size * 2 // 3]   # frame 2 body
+        for pos in sites:
+            corrupted = bytearray(data)
+            corrupted[pos] ^= 0x41
+            bad = tmp_path / "bad.flac"
+            bad.write_bytes(bytes(corrupted))
+            ref_wav = tmp_path / "ref.wav"
+            got_wav = tmp_path / "got.wav"
+            r = subprocess.run([str(oracle), "-d", "-F", "-f", "-o", str(ref_wav),
+                                str(bad)], capture_output=True)
+            from flac_tpu.cli.flac import main as flac_main
+            rc = flac_main(["-d", "-F", "-f", "--totally-silent",
+                            "-o", str(got_wav), str(bad)])
+            assert rc == r.returncode, (pos, rc, r.returncode, r.stderr[-200:])
+            assert got_wav.read_bytes() == ref_wav.read_bytes(), \
+                f"-F output diverges from oracle for corruption at byte {pos}"
+
     def test_bitflips_detected_or_isolated(self, tmp_path, oracle):
         """Random single-byte corruptions: the decoder must either raise or
         (continue_on_error) keep non-corrupted frames intact."""
@@ -123,12 +159,15 @@ class TestOracleOptionSweep:
             dec = HostDecoder(bytes(corrupted), check_md5=False,
                               continue_on_error=True)
             pcm, frames = dec.decode_all()
-            # frames that decoded cleanly must match the original exactly
+            # frames that decoded cleanly must match the original exactly;
+            # CRC-concealed frames are delivered as zeroed blocks
             cursor = 0
             for fr in frames:
                 seg = pcm[cursor : cursor + fr.blocksize]
                 orig_start = fr.frame_number * 4096
                 orig = sig[orig_start : orig_start + fr.blocksize]
-                if seg.shape == orig.shape:
+                if fr.concealed:
+                    assert not seg.any()
+                elif seg.shape == orig.shape:
                     np.testing.assert_array_equal(seg, orig)
                 cursor += fr.blocksize

@@ -49,12 +49,22 @@ class Decoder:
                 data = f.read()
         else:
             data = source.read()
+        # Ogg FLAC transport (the reference's FLAC__stream_decoder_init_ogg_*
+        # layer): unwrap to the native stream for sequential decode; raw page
+        # seeking lives in ogg.OggSeekableDecoder
+        self.is_ogg = data[:4] == b"OggS"
+        if self.is_ogg:
+            from flac_tpu.ogg import flac_stream_from_ogg
+            data = flac_stream_from_ogg(data)
         self._write_cb = write_callback
         self._metadata_cb = metadata_callback
         self._error_cb = error_callback
         self.md5_checking = md5_checking
         # respond filtering (stream_decoder.h:811-879); STREAMINFO on by default
         self._respond: set[int] = {C.METADATA_TYPE_STREAMINFO}
+        # APPLICATION id list (stream_decoder.c:769-851): ids here TOGGLE the
+        # type-level decision for matching blocks (stream_decoder.c:1479-1481)
+        self._app_ids: set[bytes] = set()
         self._dec = hd.HostDecoder(data, check_md5=False)
         self._seek = SeekableDecoder(data)
         self._pos = self._dec.audio_offset
@@ -72,15 +82,43 @@ class Decoder:
 
     def set_metadata_respond(self, type_code: int) -> None:
         self._respond.add(type_code)
+        if type_code == C.METADATA_TYPE_APPLICATION:
+            self._app_ids.clear()
 
     def set_metadata_respond_all(self) -> None:
         self._respond = set(range(0, 127))
+        self._app_ids.clear()
 
     def set_metadata_ignore(self, type_code: int) -> None:
         self._respond.discard(type_code)
+        if type_code == C.METADATA_TYPE_APPLICATION:
+            self._app_ids.clear()
 
     def set_metadata_ignore_all(self) -> None:
         self._respond = set()
+        self._app_ids.clear()
+
+    def set_metadata_respond_application(self, app_id: bytes) -> None:
+        """Respond to APPLICATION blocks with this 4-byte id even though the
+        type is otherwise ignored (stream_decoder.h:826; no-op when the whole
+        type already responds, stream_decoder.c:778-779)."""
+        if C.METADATA_TYPE_APPLICATION not in self._respond:
+            self._app_ids.add(bytes(app_id))
+
+    def set_metadata_ignore_application(self, app_id: bytes) -> None:
+        """Ignore APPLICATION blocks with this 4-byte id even though the type
+        otherwise responds (stream_decoder.h:846; no-op when the whole type is
+        already ignored, stream_decoder.c:837-838)."""
+        if C.METADATA_TYPE_APPLICATION in self._respond:
+            self._app_ids.add(bytes(app_id))
+
+    def _should_deliver(self, block: MetadataBlock) -> bool:
+        respond = block.type_code in self._respond
+        # id-list XOR toggle (stream_decoder.c:1479-1481)
+        if (block.type_code == C.METADATA_TYPE_APPLICATION and self._app_ids
+                and getattr(block, "app_id", None) in self._app_ids):
+            respond = not respond
+        return respond
 
     # -- overridable callbacks --------------------------------------------------
 
@@ -110,7 +148,7 @@ class Decoder:
     def process_until_end_of_metadata(self) -> bool:
         if not self._metadata_delivered:
             for block in self._dec.metadata:
-                if block.type_code in self._respond:
+                if self._should_deliver(block):
                     self.metadata_callback(block)
             self._metadata_delivered = True
         self.state = DecoderState.SEARCH_FOR_FRAME_SYNC

@@ -42,6 +42,13 @@ class SeekableDecoder:
     """
 
     def __init__(self, data: bytes, check_crc: bool = True) -> None:
+        data = bytes(data)
+        # Ogg FLAC transport: unwrap to the native stream so bulk reads keep
+        # the batched device path. Page-level (no-unwrap) random access lives
+        # in flac_tpu.ogg.OggSeekableDecoder.
+        if data[:4] == b"OggS":
+            from flac_tpu.ogg import flac_stream_from_ogg
+            data = flac_stream_from_ogg(data)
         self._host = hd.HostDecoder(bytes(data), check_md5=False)
         self.data = self._host.data
         self.streaminfo: StreamInfo = self._host.streaminfo

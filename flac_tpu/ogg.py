@@ -294,6 +294,288 @@ def flac_stream_from_ogg(data: bytes) -> bytes:
     return bytes(out)
 
 
+# -- page-level random access ------------------------------------------------
+
+class _PageHeader:
+    """Parsed Ogg page header (no CRC validation — seek probes are lazy;
+    the packet path re-validates via the frame CRCs)."""
+
+    __slots__ = ("offset", "htype", "granule", "serial", "seqno", "lacing",
+                 "body_offset", "size")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        if data[pos : pos + 4] != b"OggS" or data[pos + 4] != 0:
+            raise OggError(f"no Ogg page at byte {pos}")
+        self.offset = pos
+        self.htype = data[pos + 5]
+        g = int.from_bytes(data[pos + 6 : pos + 14], "little")
+        self.granule = -1 if g == (1 << 64) - 1 else g
+        self.serial = int.from_bytes(data[pos + 14 : pos + 18], "little")
+        self.seqno = int.from_bytes(data[pos + 18 : pos + 22], "little")
+        nsegs = data[pos + 26]
+        self.lacing = data[pos + 27 : pos + 27 + nsegs]
+        self.body_offset = pos + 27 + nsegs
+        self.size = 27 + nsegs + sum(self.lacing)
+        if self.body_offset + sum(self.lacing) > len(data):
+            raise OggError("truncated Ogg page")
+
+
+def _find_page(data: bytes, pos: int, serial: int | None = None) -> _PageHeader | None:
+    """Next structurally valid page at or after byte `pos` (optionally
+    matching `serial`)."""
+    n = len(data)
+    while pos < n:
+        hit = data.find(b"OggS", pos)
+        if hit < 0 or hit + 27 > n:
+            return None
+        try:
+            page = _PageHeader(data, hit)
+        except OggError:
+            pos = hit + 1
+            continue
+        if serial is not None and page.serial != serial:
+            pos = hit + page.size
+            continue
+        return page
+    return None
+
+
+class OggSeekableDecoder:
+    """Positioned decoding DIRECTLY over Ogg FLAC bytes: seeks bisect pages
+    on granule position (the reference's seek_to_absolute_sample_ogg_,
+    stream_decoder.c:136,1221) instead of unwrapping the whole stream, then
+    packets (one FLAC frame each, per the mapping) decode through the host
+    frame decoder against a STREAMINFO-only prefix.
+
+    Mirrors SeekableDecoder's surface: seek_absolute / read / decode_range /
+    tell (tell returns the Ogg byte offset of the page cursor).
+    """
+
+    def __init__(self, data: bytes, check_crc: bool = True) -> None:
+        from flac_tpu.decode import host_decoder as hd
+        from flac_tpu.metadata import parse_metadata, serialize_metadata
+
+        self.data = bytes(data)
+        first = _find_page(self.data, 0)
+        if first is None:
+            raise OggError("no Ogg pages found")
+        self.serial = first.serial
+        header_blob, self._audio_cursor = self._read_headers(first)
+        prefix = bytearray(b"fLaC") + header_blob
+        # normalize is_last flags (packets carry the original stream's flags)
+        q = 4
+        block_offsets = []
+        while q < len(prefix):
+            length = int.from_bytes(prefix[q + 1 : q + 4], "big")
+            block_offsets.append(q)
+            q += 4 + length
+        if not block_offsets:
+            raise OggError("Ogg FLAC stream has no metadata blocks")
+        for b in block_offsets[:-1]:
+            prefix[b] &= 0x7F
+        prefix[block_offsets[-1]] |= 0x80
+        self.metadata, _ = parse_metadata(bytes(prefix), 4)
+        self.streaminfo = self.metadata[0]
+        # per-packet frame decoding uses a minimal STREAMINFO-only prefix so
+        # large PADDING/PICTURE blocks aren't re-parsed per frame
+        import dataclasses as _dc
+        si_only = _dc.replace(self.streaminfo, is_last=True)
+        self._prefix = b"fLaC" + serialize_metadata([si_only])
+        self.check_crc = check_crc
+        self._hd = hd
+        self._reset_walk(*self._audio_cursor)
+
+    # -- packet walking -------------------------------------------------------
+
+    def _read_headers(self, first: "_PageHeader"):
+        """Collect the FLAC mapping header packets; returns
+        (metadata_blob, (audio_page_offset, packets_to_skip_there))."""
+        pos = first.offset
+        partial = bytearray()
+        blob = bytearray()
+        nheaders = None
+        have = 0
+        while True:
+            page = _find_page(self.data, pos, self.serial)
+            if page is None:
+                raise OggError("truncated Ogg FLAC headers")
+            if not (page.htype & 1):
+                partial = bytearray()
+            body = self.data[page.body_offset : page.body_offset + sum(page.lacing)]
+            off = 0
+            completed = 0
+            for lace in page.lacing:
+                partial += body[off : off + lace]
+                off += lace
+                if lace < 255:
+                    pkt = bytes(partial)
+                    partial = bytearray()
+                    completed += 1
+                    if nheaders is None:
+                        if len(pkt) < 13 or pkt[0] != 0x7F or pkt[1:5] != b"FLAC" \
+                                or pkt[5] != MAPPING_MAJOR or pkt[9:13] != b"fLaC":
+                            raise OggError("first packet is not a FLAC mapping header")
+                        nheaders = int.from_bytes(pkt[7:9], "big")
+                        blob += pkt[13:]
+                        have = 1
+                    elif nheaders == 0 and len(pkt) >= 2 and pkt[0] == 0xFF \
+                            and (pkt[1] & 0xFE) == 0xF8:
+                        # unknown header count: audio begins at the first
+                        # frame-sync packet — re-deliver it on the audio walk
+                        return blob, (page.offset, completed - 1)
+                    else:
+                        blob += pkt
+                        have += 1
+                    if nheaders > 0 and have == nheaders:
+                        return blob, (page.offset, completed)
+            pos = page.offset + page.size
+
+    def _reset_walk(self, page_offset: int, skip_packets: int) -> None:
+        self._cursor = page_offset
+        self._skip_packets = skip_packets
+        self._partial = bytearray()
+        self._queue: list[bytes] = []
+        self._pending: np.ndarray | None = None
+        self._seek_target: int | None = None
+
+    def _next_packet(self) -> bytes | None:
+        while not self._queue:
+            page = _find_page(self.data, self._cursor, self.serial)
+            if page is None:
+                return None
+            if not (page.htype & 1):
+                self._partial = bytearray()
+            body = self.data[page.body_offset : page.body_offset + sum(page.lacing)]
+            off = 0
+            for lace in page.lacing:
+                self._partial += body[off : off + lace]
+                off += lace
+                if lace < 255:
+                    pkt = bytes(self._partial)
+                    self._partial = bytearray()
+                    if self._skip_packets > 0:
+                        self._skip_packets -= 1
+                    else:
+                        self._queue.append(pkt)
+            self._cursor = page.offset + page.size
+        return self._queue.pop(0)
+
+    def _next_frame(self):
+        """Decode the next audio packet as one FLAC frame; returns
+        (pcm, first_sample) or None at end of stream."""
+        hd = self._hd
+        while True:
+            pkt = self._next_packet()
+            if pkt is None:
+                return None
+            if len(pkt) < 2 or pkt[0] != 0xFF or (pkt[1] & 0xFE) != 0xF8:
+                continue  # not an audio packet (stray metadata/garbage)
+            dec = hd.HostDecoder(self._prefix + pkt, check_md5=False)
+            try:
+                pcm, fi = dec.decode_frame_at(len(self._prefix))
+            except (hd.DecodeError, EOFError, ValueError, KeyError):
+                continue  # corrupt packet: resync at the next packet
+            first = (fi.sample_number if fi.sample_number >= 0
+                     else fi.frame_number * self.streaminfo.min_blocksize)
+            return pcm, first
+
+    # -- seeking --------------------------------------------------------------
+
+    def _granule_at_or_after(self, pos: int, limit: int) -> "_PageHeader | None":
+        """First page at/after `pos` (before `limit`) with a valid granule."""
+        while pos < limit:
+            page = _find_page(self.data, pos, self.serial)
+            if page is None or page.offset >= limit:
+                return None
+            if page.granule >= 0:
+                return page
+            pos = page.offset + page.size
+        return None
+
+    def seek_absolute(self, target_sample: int) -> None:
+        """Granule-position bisection over raw pages: find the last page
+        whose granule (samples finished by end of page) is <= target; every
+        packet ending on that page is pre-target, and the walk resumes with
+        the first frame that ends after it."""
+        from flac_tpu.decode.seek import SeekError
+
+        si = self.streaminfo
+        if target_sample < 0:
+            raise SeekError("negative target sample")
+        if si.total_samples and target_sample >= si.total_samples:
+            raise SeekError("seek past end of stream")
+        audio_page, audio_skip = self._audio_cursor
+        lo = audio_page
+        hi = len(self.data)
+        anchor: _PageHeader | None = None
+        while hi - lo > 4096:
+            mid = (lo + hi) // 2
+            page = self._granule_at_or_after(mid, hi)
+            if page is None:
+                hi = mid
+                continue
+            if page.granule <= target_sample:
+                anchor = page
+                lo = page.offset + page.size
+            else:
+                hi = page.offset
+        # linear tail over the remaining window
+        scan = audio_page if anchor is None else anchor.offset + anchor.size
+        while True:
+            page = self._granule_at_or_after(scan, hi)
+            if page is None or page.granule > target_sample:
+                break
+            anchor = page
+            scan = page.offset + page.size
+        if anchor is None or anchor.offset == audio_page:
+            # target inside the first audio span (or anchor IS the first
+            # audio page, where header packets also need skipping)
+            self._reset_walk(audio_page, audio_skip)
+        else:
+            self._reset_walk(anchor.offset,
+                             sum(1 for l in anchor.lacing if l < 255))
+        self._seek_target = target_sample
+
+    # -- reading --------------------------------------------------------------
+
+    def read(self, nsamples: int) -> np.ndarray:
+        parts: list[np.ndarray] = []
+        got = 0
+        target = self._seek_target
+        self._seek_target = None
+        if self._pending is not None and len(self._pending):
+            take = self._pending[: nsamples]
+            self._pending = self._pending[len(take):]
+            parts.append(take)
+            got += len(take)
+        while got < nsamples:
+            nxt = self._next_frame()
+            if nxt is None:
+                break
+            pcm, first = nxt
+            if target is not None:
+                if first + len(pcm) <= target:
+                    continue  # frame entirely before the target
+                if first < target:
+                    pcm = pcm[target - first :]
+                target = None
+            take = pcm[: nsamples - got]
+            if len(take) < len(pcm):
+                self._pending = pcm[len(take):]
+            parts.append(take)
+            got += len(take)
+        if not parts:
+            return np.zeros((0, self.streaminfo.channels), np.int32)
+        return np.concatenate(parts, axis=0)
+
+    def decode_range(self, start_sample: int, nsamples: int) -> np.ndarray:
+        self.seek_absolute(start_sample)
+        return self.read(nsamples)
+
+    def tell(self) -> int:
+        return self._cursor
+
+
 # -- high-level helpers (used by the CLI) ------------------------------------
 
 def encode_ogg_flac(samples: np.ndarray, sample_rate: int, bits_per_sample: int,

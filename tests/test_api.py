@@ -111,3 +111,97 @@ class TestEncoder:
         from flac_tpu.decode.host_decoder import decode_bytes
         pcm, _, _ = decode_bytes(out.read_bytes())
         np.testing.assert_array_equal(pcm, SIG)
+
+
+class TestOggTransport:
+    """The OO layer over Ogg FLAC transport — the analog of the reference's
+    decoder layer matrix (src/test_libFLAC++/decoders.cpp LAYER_* x {native,
+    ogg}, stream_decoder.c:136 FLAC__stream_decoder_init_ogg_*)."""
+
+    @pytest.fixture(scope="class")
+    def ogg_data(self, flac_data):
+        from flac_tpu.ogg import ogg_from_flac_stream
+        return ogg_from_flac_stream(flac_data)
+
+    def test_full_stream(self, ogg_data):
+        got, metas = [], []
+        dec = Decoder(ogg_data,
+                      write_callback=lambda pcm, fr: got.append(pcm),
+                      metadata_callback=lambda b: metas.append(b))
+        assert dec.is_ogg
+        assert dec.process_until_end_of_stream()
+        np.testing.assert_array_equal(np.concatenate(got)[: len(SIG)], SIG)
+        assert [b.type_code for b in metas] == [C.METADATA_TYPE_STREAMINFO]
+        assert dec.md5_ok is True
+
+    def test_metadata_filtering_over_ogg(self, ogg_data):
+        metas = []
+        dec = Decoder(ogg_data, metadata_callback=lambda b: metas.append(b))
+        dec.set_metadata_respond_all()
+        dec.process_until_end_of_metadata()
+        codes = [b.type_code for b in metas]
+        assert C.METADATA_TYPE_VORBIS_COMMENT in codes
+
+    def test_seek_over_ogg(self, ogg_data):
+        got = []
+        dec = Decoder(ogg_data, write_callback=lambda pcm, fr: got.append((pcm, fr)))
+        target = 1152 * 3 + 99
+        assert dec.seek_absolute(target)
+        assert dec.process_single()
+        pcm, fr = got[0]
+        assert fr.frame_number == target // 1152
+        np.testing.assert_array_equal(
+            pcm, SIG[fr.frame_number * 1152:(fr.frame_number + 1) * 1152])
+
+
+class TestApplicationIDFiltering:
+    """set_metadata_respond_application / ignore_application
+    (stream_decoder.h:826,846): the id list toggles the type-level decision
+    (stream_decoder.c:1479-1481), and each setter is a no-op when the
+    type-level filter already agrees (stream_decoder.c:778-779,837-838)."""
+
+    @pytest.fixture(scope="class")
+    def app_flac(self, tmp_path_factory):
+        from flac_tpu.metadata import Application
+        p = tmp_path_factory.mktemp("app") / "a.flac"
+        encode_file(SIG[:5000], 44100, 16, str(p), level=1, batch_frames=8,
+                    metadata=[Application(app_id=b"abcd", data=b"one"),
+                              Application(app_id=b"wxyz", data=b"two")])
+        return p.read_bytes()
+
+    @staticmethod
+    def _app_ids_delivered(data, setup):
+        metas = []
+        dec = Decoder(data, metadata_callback=lambda b: metas.append(b))
+        setup(dec)
+        dec.process_until_end_of_metadata()
+        return [b.app_id for b in metas
+                if b.type_code == C.METADATA_TYPE_APPLICATION]
+
+    def test_respond_application_one_id(self, app_flac):
+        ids = self._app_ids_delivered(
+            app_flac, lambda d: d.set_metadata_respond_application(b"abcd"))
+        assert ids == [b"abcd"]
+
+    def test_ignore_application_one_id(self, app_flac):
+        def setup(d):
+            d.set_metadata_respond_all()
+            d.set_metadata_ignore_application(b"wxyz")
+        assert self._app_ids_delivered(app_flac, setup) == [b"abcd"]
+
+    def test_respond_application_noop_when_type_responds(self, app_flac):
+        def setup(d):
+            d.set_metadata_respond(C.METADATA_TYPE_APPLICATION)
+            d.set_metadata_respond_application(b"abcd")  # must NOT toggle to ignore
+        assert self._app_ids_delivered(app_flac, setup) == [b"abcd", b"wxyz"]
+
+    def test_ignore_application_noop_when_type_ignored(self, app_flac):
+        def setup(d):
+            d.set_metadata_ignore_application(b"abcd")  # type ignored -> no-op
+        assert self._app_ids_delivered(app_flac, setup) == []
+
+    def test_type_level_setter_clears_id_list(self, app_flac):
+        def setup(d):
+            d.set_metadata_respond_application(b"abcd")
+            d.set_metadata_ignore(C.METADATA_TYPE_APPLICATION)  # clears ids
+        assert self._app_ids_delivered(app_flac, setup) == []

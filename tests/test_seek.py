@@ -122,3 +122,47 @@ class TestDeviceBulkRead:
         tail_start = len(sig) - 4096 * 9 - 100
         got = dec.decode_range(tail_start, 4096 * 9 + 100)
         np.testing.assert_array_equal(got, sig[tail_start:])
+
+
+class TestOggSeek:
+    """Seeking directly over Ogg FLAC pages — the analog of the reference's
+    Ogg seek path (stream_decoder.c:136 seek_to_absolute_sample_ogg_: granule
+    bisection over pages, :1221), plus SeekableDecoder accepting Ogg bytes."""
+
+    @pytest.fixture(scope="class")
+    def ogg_case(self, tmp_path_factory):
+        from flac_tpu.ogg import ogg_from_flac_stream
+        sig = make_signal(4096 * 6 + 2345, 2, 16, kind="sine", seed=21)
+        p = tmp_path_factory.mktemp("oggseek") / "s.flac"
+        encode_file(sig, 44100, 16, str(p), level=5, batch_frames=8)
+        return ogg_from_flac_stream(p.read_bytes()), sig
+
+    def test_page_bisection_seeks(self, ogg_case):
+        from flac_tpu.ogg import OggSeekableDecoder
+        ogg, sig = ogg_case
+        n = len(sig)
+        dec = OggSeekableDecoder(ogg)
+        rng = np.random.default_rng(11)
+        for target in _seek_targets(n, rng):
+            want = sig[target : target + 1000]
+            got = dec.decode_range(target, len(want))
+            np.testing.assert_array_equal(got, want, err_msg=f"ogg seek {target}")
+
+    def test_sequential_read(self, ogg_case):
+        from flac_tpu.ogg import OggSeekableDecoder
+        ogg, sig = ogg_case
+        dec = OggSeekableDecoder(ogg)
+        parts = [dec.read(3000) for _ in range(len(sig) // 3000 + 2)]
+        np.testing.assert_array_equal(np.concatenate(parts), sig)
+
+    def test_seekable_decoder_accepts_ogg(self, ogg_case):
+        ogg, sig = ogg_case
+        _verify_seeks(ogg, sig)
+
+    def test_read_spanning_seek_target_mid_frame(self, ogg_case):
+        from flac_tpu.ogg import OggSeekableDecoder
+        ogg, sig = ogg_case
+        dec = OggSeekableDecoder(ogg)
+        t = 4096 * 3 + 777
+        got = dec.decode_range(t, 9000)
+        np.testing.assert_array_equal(got, sig[t : t + 9000])

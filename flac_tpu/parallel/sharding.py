@@ -157,6 +157,99 @@ def encode_frames_sharded(pcm: np.ndarray, cfg: EncoderConfig,
     return step(jnp.asarray(pcm), jnp.asarray(fnos))
 
 
+def encode_corpus_sharded(pcm, cfg: EncoderConfig, mesh: Mesh | None = None,
+                          metadata: list | None = None, do_md5: bool = True,
+                          frames_per_device: int = 16) -> bytes:
+    """One-call multi-device encode of a whole corpus -> a complete .flac.
+
+    `pcm` is either one [n, channels] int32 array, or a list of per-host
+    ragged chunks (arbitrary, non-frame-aligned split of the corpus — the
+    multi-host ingestion model of SURVEY §5.8). Ragged chunks are re-cut on
+    the frame grid: SAMPLES cross shard boundaries during the re-cut, never
+    codec state — FLAC frames are self-contained (reference format.h:304-331),
+    so after the re-cut the frame axis is embarrassingly data-parallel.
+
+    Per sharded step the mesh runs: the full batched frame encoder on every
+    device, pmin/pmax/psum collectives for the STREAMINFO statistics
+    (write_frame_'s serial tracking, stream_encoder.c:2418-2421), and the
+    two-level exclusive prefix sum that places every frame in the output
+    stream. The host then performs only the inherently sequential work:
+    ordered byte concatenation, the final partial frame, MD5, and the
+    STREAMINFO rewrite (update_metadata_, stream_encoder.c:2516).
+    """
+    from flac_tpu.md5 import MD5Context
+    from flac_tpu.metadata import StreamInfo, VorbisComment, serialize_metadata
+    from flac_tpu.version import VENDOR_STRING
+
+    if isinstance(pcm, (list, tuple)):
+        # boundary exchange: concatenating IS the warm-up-sample re-cut —
+        # the samples a raw split bisected out of a frame move to the shard
+        # that owns that frame, and nothing else moves
+        pcm = np.concatenate([np.asarray(c) for c in pcm], axis=0)
+    pcm = np.asarray(pcm, np.int32)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    if mesh is None:
+        mesh = make_mesh()
+    cfg = cfg.resolve()
+    bs, ch = cfg.blocksize, cfg.channels
+    assert pcm.shape[1] == ch, (pcm.shape, ch)
+    n = pcm.shape[0]
+    nfull, rem = divmod(n, bs)
+
+    step = build_sharded_encode_step(cfg, mesh, frames_per_device)
+    B = frames_per_device * mesh.size
+    frames = pcm[: nfull * bs].reshape(nfull, bs, ch)
+
+    payload = bytearray()
+    min_fs, max_fs = (1 << 31) - 1, 0
+    for start in range(0, nfull, B):
+        batch = frames[start : start + B]
+        nb = batch.shape[0]
+        if nb < B:  # pad AFTER the real frames; pads drop out of the stream
+            batch = np.concatenate(
+                [batch, np.repeat(batch[-1:], B - nb, axis=0)], axis=0)
+        fnos = np.arange(start, start + B, dtype=np.int64)
+        res = step(jnp.asarray(batch), jnp.asarray(fnos))
+        words = np.asarray(res.words).astype(">u4")
+        nbytes = np.asarray(res.nbytes)
+        offs = np.asarray(res.stream_offset)
+        # host-ordered write via the collective prefix-sum placement
+        total_real = int(offs[nb - 1] + nbytes[nb - 1])
+        chunk = bytearray(total_real)
+        for i in range(nb):
+            chunk[offs[i] : offs[i] + nbytes[i]] = words[i].tobytes()[: nbytes[i]]
+        payload += chunk
+        min_fs = min(min_fs, int(nbytes[:nb].min()))
+        max_fs = max(max_fs, int(nbytes[:nb].max()))
+    if rem:
+        from flac_tpu.encode.frame_encoder import build_frame_encoder
+        tail_enc = build_frame_encoder(cfg, blocksize=rem)
+        words, total_bits, _ = tail_enc(pcm[None, nfull * bs :, :],
+                                        np.asarray([nfull], np.int64))
+        tail = np.asarray(words)[0].astype(">u4").tobytes()[
+            : int(np.asarray(total_bits)[0]) // 8]
+        payload += tail
+        min_fs = min(min_fs, len(tail))
+        max_fs = max(max_fs, len(tail))
+
+    md5 = b"\x00" * 16
+    if do_md5:
+        ctx = MD5Context()
+        ctx.accumulate(pcm, cfg.bits_per_sample)
+        md5 = ctx.digest()
+    si = StreamInfo(min_blocksize=bs, max_blocksize=bs,
+                    min_framesize=0 if n == 0 else min_fs,
+                    max_framesize=max_fs, sample_rate=cfg.sample_rate,
+                    channels=ch, bits_per_sample=cfg.bits_per_sample,
+                    total_samples=n, md5sum=md5)
+    blocks = [si] + list(metadata or [])
+    if not any(isinstance(b, VorbisComment) for b in blocks):
+        blocks.insert(1, VorbisComment(vendor_string=VENDOR_STRING))
+    from flac_tpu import constants as C
+    return C.STREAM_SYNC_STRING + serialize_metadata(blocks) + bytes(payload)
+
+
 def build_sharded_decode_step(geom, mesh: Mesh, frames_per_device: int):
     """Frame-sharded decode: `step(words[W], start_bits[B]) -> (pcm[B,T,Ch],
     end_bits[B])` with the frame axis sharded across every device and the

@@ -140,6 +140,30 @@ class TestAcceptanceConfigs:
         _oracle_gate_bytes(tmp_path, stream, corpus)
 
 
+    def test_config5b_encode_corpus_sharded_api(self, tmp_path):
+        """The one-call corpus API (parallel.encode_corpus_sharded): ragged
+        multi-host chunks in, complete .flac out — boundary re-cut, collective
+        stats, prefix-sum placement, host-ordered write, tail frame, MD5 —
+        oracle-gated (SURVEY §5.8, stream_encoder.c:2418-2470)."""
+        devs = cpu_devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from flac_tpu.encode.frame_encoder import EncoderConfig
+        from flac_tpu.parallel.sharding import encode_corpus_sharded, make_mesh
+        BS = 256
+        corpus = make_signal(BS * 50 + 123, 2, 16, kind="quiet", seed=6)
+        ragged = BS * 17 + 201                      # non-frame-aligned split
+        chunks = [corpus[:ragged], corpus[ragged:]]
+        mesh = make_mesh(devs[:8], n_hosts=2)
+        cfg = EncoderConfig.from_level(5, channels=2, bits_per_sample=16,
+                                       sample_rate=44100, blocksize=BS)
+        stream = encode_corpus_sharded(chunks, cfg, mesh, frames_per_device=4)
+        pcm, si, _ = decode_bytes(stream)           # CRC + MD5 checked
+        np.testing.assert_array_equal(pcm, corpus)
+        assert si.total_samples == corpus.shape[0]
+        _oracle_gate_bytes(tmp_path, stream, corpus)
+
+
 def _oracle_gate_bytes(tmp_path, stream: bytes, sig):
     oracle = oracle_path()
     if oracle is None:

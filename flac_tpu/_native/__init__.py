@@ -30,8 +30,11 @@ def _build() -> str | None:
     for so in candidates:
         try:
             r = subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", so, _SRC],
+                # fp-contract=off: the ReplayGain dither filter must round
+                # every float mul+add separately, as the reference binary
+                # (built for baseline x86-64 without FMA) does
+                ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                 "-shared", "-fPIC", "-o", so, _SRC],
                 capture_output=True, timeout=120)
             if r.returncode == 0:
                 return so
@@ -85,6 +88,15 @@ if _lib is not None:
     _lib.flacn_md5_update.argtypes = [ctypes.c_void_p, _u8p, ctypes.c_size_t]
     _lib.flacn_md5_final.restype = None
     _lib.flacn_md5_final.argtypes = [ctypes.c_void_p, _u8p]
+    _lib.flacn_rg_ctx_sizeof.restype = ctypes.c_size_t
+    _lib.flacn_rg_ctx_sizeof.argtypes = []
+    _lib.flacn_rg_ctx_init.restype = None
+    _lib.flacn_rg_ctx_init.argtypes = [ctypes.c_void_p]
+    _lib.flacn_rg_apply.restype = None
+    _lib.flacn_rg_apply.argtypes = [ctypes.c_void_p, _i32p, ctypes.c_size_t,
+                                    ctypes.c_uint, ctypes.c_uint, ctypes.c_uint,
+                                    ctypes.c_double, ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_int, _i32p]
 
 
 class NativeBytes:
@@ -190,8 +202,31 @@ class StreamingMD5:
         return bytes(out)
 
 
+class RgDitherContext:
+    """Persistent dither/noise-shaping state across apply calls (the
+    reference's DitherContext: RNG polycounters, per-channel dither and
+    error-feedback histories, rolling history index)."""
+
+    def __init__(self) -> None:
+        self._ctx = ctypes.create_string_buffer(_lib.flacn_rg_ctx_sizeof())
+        _lib.flacn_rg_ctx_init(self._ctx)
+
+    def apply(self, pcm: np.ndarray, source_bps: int, target_bps: int,
+              scale: float, hard_limit: bool, do_dither: bool,
+              shaping: int) -> np.ndarray:
+        pcm = np.ascontiguousarray(pcm, np.int32)
+        n, ch = pcm.shape
+        out = np.empty_like(pcm)
+        _lib.flacn_rg_apply(
+            self._ctx, pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n, ch, source_bps, target_bps, float(scale),
+            int(hard_limit), int(do_dither), int(shaping),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+
+
 if _lib is None:
     # make `from flac_tpu._native import <fn>` fail cleanly so every consumer
     # falls back to its pure-Python implementation
     del NativeBytes, lpc_restore, fixed_restore, crc8, crc16
-    del flac_md5_digest, StreamingMD5
+    del flac_md5_digest, StreamingMD5, RgDitherContext

@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <cmath>
 
 extern "C" {
 
@@ -335,6 +336,157 @@ void flacn_md5_digest(const uint8_t* data, size_t n, uint8_t out[16]) {
     flacn_md5_init(&ctx);
     flacn_md5_update(&ctx, data, n);
     flacn_md5_final(&ctx, out);
+}
+
+// ---------------------------------------------------------------------------
+// ReplayGain synthesis: gain + limiter + dither with noise shaping
+// (replaygain_synthesis.c:216 dither_output_, :300-462 apply_gain;
+// the error-feedback loop is sample-sequential, hence host-native)
+// ---------------------------------------------------------------------------
+
+#define RG_MAX_CH 8
+
+struct RgDitherCtx {
+    uint32_t r1, r2;                   // two-polycounter RNG state
+    int32_t last_random[RG_MAX_CH];    // shaping-0 high-passed dither memory
+    float dither_hist[RG_MAX_CH][16];
+    float error_hist[RG_MAX_CH][16];
+    uint32_t last_history_index;
+};
+
+// 16-tap psychoacoustic shaping filters at 44.1 kHz (the published WaveGain
+// coefficient sets the reference embeds, replaygain_synthesis.c:131-196;
+// shaping 0 uses no filter)
+static const float RG_F44[3][16] = {
+    { 0.85018292704024355931f,  0.29089597350995344721f, -0.05021866022121039450f,
+     -0.23545456294599161833f, -0.58362726442227032096f, -0.67038978965193036429f,
+     -0.38566861572833459221f, -0.15218663390367969967f, -0.02577543084864530676f,
+      0.14119295297688728127f,  0.22398848581628781612f,  0.15401727203382084116f,
+      0.05216161232906000929f, -0.00282237820999675451f, -0.03042794608323867363f,
+     -0.03109780942998826024f},
+    { 1.78827593892108555290f,  0.95508210637394326553f, -0.18447626783899924429f,
+     -0.44198126506275016437f, -0.88404052492547413497f, -1.42218907262407452967f,
+     -1.02037566838362314995f, -0.34861755756425577264f, -0.11490230170431934434f,
+      0.12498899339968611803f,  0.38065885268563131927f,  0.31883491321310506562f,
+      0.10486838686563442765f, -0.03105361685110374845f, -0.06450524884075370758f,
+     -0.02939198261121969816f},
+    { 2.89072132015058161445f,  2.68932810943698754106f,  0.21083359339410251227f,
+     -0.98385073324997617515f, -1.11047823227097316719f, -2.18954076314139673147f,
+     -2.36498032881953056225f, -0.95484132880101140785f, -0.23924057925542965158f,
+     -0.13865235703915925642f,  0.43587843191057992846f,  0.65903257226026665927f,
+      0.24361815372443152787f, -0.00235974960154720097f,  0.01844166574603346289f,
+      0.01722945988740875099f},
+};
+
+size_t flacn_rg_ctx_sizeof() { return sizeof(RgDitherCtx); }
+
+void flacn_rg_ctx_init(void* vctx) {
+    RgDitherCtx* c = (RgDitherCtx*)vctx;
+    memset(c, 0, sizeof(*c));
+    c->r1 = c->r2 = 1;  // the reference RNG's static initial state
+}
+
+// opposite-rotation polycounter pair, periods coprime
+// (replaygain_synthesis.c:92-117); parity via the builtin, not a table
+static inline uint32_t rg_rand(RgDitherCtx* c) {
+    uint32_t t1 = c->r1, t2 = c->r2;
+    uint32_t p1 = (uint32_t)__builtin_parity(t1 & 0xF5u);
+    uint32_t p2 = (uint32_t)__builtin_parity((t2 >> 25) & 0x63u);
+    c->r1 = (t1 >> 1) | (p1 << 31);
+    c->r2 = (t2 + t2) | p2;
+    return c->r1 ^ c->r2;
+}
+
+// the reference's magic-number double->int64 round-to-even
+// (dither_output_'s ROUND64, replaygain_synthesis.c:247)
+static inline int64_t rg_round64(double x, double add) {
+    union { double d; int64_t i; } u;
+    u.d = x + add + (double)0x001FFFFD80000000LL;
+    return u.i - 0x433FFFFD80000000LL;
+}
+
+// in/out are interleaved [wide_samples, channels] int32; `scale` already
+// includes preamp and peak-limiting (grabbag__replaygain_compute_scale_factor)
+void flacn_rg_apply(void* vctx, const int32_t* in, size_t wide_samples,
+                    uint32_t channels, uint32_t source_bps, uint32_t target_bps,
+                    double scale, int hard_limit, int do_dither, int shaping,
+                    int32_t* out) {
+    RgDitherCtx* c = (RgDitherCtx*)vctx;
+    if (shaping < 0) shaping = 0;
+    if (shaping > 3) shaping = 3;
+    static const uint8_t default_dither[10] = {92, 92, 88, 84, 81, 78, 74, 67, 0, 0};
+    int di = (int)target_bps - 11 - shaping;
+    if (di < 0) di = 0;
+    if (di > 9) di = 9;
+    const double dither_mult =
+        (double)(0.01f * default_dither[di]) / (double)((int64_t)1 << target_bps);
+    const double add = 0.5 * (double)(((int64_t)1 << (32 - target_bps)) - 1);
+    const uint64_t mask = ~(uint64_t)0 << (32 - target_bps);
+    const int64_t conv = (int64_t)1 << (32 - target_bps);
+    const int64_t hard_clip = -((int64_t)1 << (target_bps - 1));
+    const double multi_scale = scale / (double)(1u << (source_bps - 1));
+    const float* coeff = shaping > 0 ? RG_F44[shaping - 1] : RG_F44[0];
+    const uint32_t last = c->last_history_index;
+
+    for (uint32_t k = 0; k < channels; k++) {
+        for (size_t i = 0; i < wide_samples; i++) {
+            double sample = (double)in[i * channels + k] * multi_scale;
+            if (hard_limit) {  // soft-knee 6 dB tanh limiter above half scale
+                if (sample < -0.5)
+                    sample = tanh((sample + 0.5) / 0.5) * 0.5 - 0.5;
+                else if (sample > 0.5)
+                    sample = tanh((sample - 0.5) / 0.5) * 0.5 + 0.5;
+            }
+            // the reference writes `sample *= 2147483647.f` — a FLOAT
+            // literal, which rounds to 2^31 exactly (replaygain_synthesis.c:415)
+            sample *= 2147483648.0;
+
+            int64_t val64;
+            uint32_t ridx = (uint32_t)((i + last) % 32) & 15;
+            if (!do_dither) {
+                val64 = rg_round64(sample, add);
+            } else if (shaping == 0) {
+                // high-passed rectangular dither
+                double tmp = dither_mult * (double)(int32_t)rg_rand(c);
+                double sum2 = tmp - c->last_random[k];
+                c->last_random[k] = (int32_t)tmp;
+                val64 = (int64_t)(rg_round64(sample + sum2, add) & mask);
+            } else {
+                // triangular dither shaped by the 16-tap filter with error
+                // feedback; histories are circular, the filter rotates with i
+                float* dh = c->dither_hist[k];
+                float* eh = c->error_hist[k];
+                double tri = dither_mult * ((double)(int32_t)rg_rand(c)
+                                            + (double)(int32_t)rg_rand(c));
+                // the reference's scalar16_ evaluates entirely in float
+                // (float*float products and float sums) before widening
+                float dsumf = 0.0f, esumf = 0.0f;
+                for (int j = 0; j < 16; j++) {
+                    dsumf += dh[j] * coeff[(ridx + j) & 15];
+                    esumf += eh[j] * coeff[(ridx + j) & 15];
+                }
+                double dsum = (double)dsumf, esum = (double)esumf;
+                double sum2 = tri - dsum;
+                float stored = (float)sum2;
+                dh[(-1 - (int)ridx) & 15] = stored;
+                double sum = sample + (double)stored;  // the float-cast value
+                                                       // feeds the sum, as in
+                                                       // the reference
+                val64 = (int64_t)(rg_round64(sum + esum, add) & mask);
+                eh[(-1 - (int)ridx) & 15] = (float)(sum - (double)val64);
+            }
+            val64 /= conv;
+            int32_t v;
+            if (val64 >= -hard_clip)
+                v = (int32_t)(-(hard_clip + 1));
+            else if (val64 < hard_clip)
+                v = (int32_t)hard_clip;
+            else
+                v = (int32_t)val64;
+            out[i * channels + k] = v;
+        }
+    }
+    c->last_history_index = (uint32_t)((last + wide_samples) % 32);
 }
 
 }  // extern "C"

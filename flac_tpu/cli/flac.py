@@ -341,7 +341,7 @@ def parse_args(argv: list[str]) -> Options:
             elif name == "replay-gain":
                 o.replay_gain = True
             elif name == "apply-replaygain-which-is-not-lossless":
-                o.apply_rg = _parse_rg_spec(val if val is not None else "")
+                o.apply_rg = _parse_rg_spec(val)
             elif name == "skip":
                 o.skip = arg()
             elif name == "until":
@@ -456,11 +456,15 @@ def parse_args(argv: list[str]) -> Options:
     return o
 
 
-def _parse_rg_spec(s: str) -> dict:
-    """[preamp-dB][a|t][l|L][n{0..3}] (main.c:697-721). Defaults: track gain,
-    no limiter, no noise shaping."""
+def _parse_rg_spec(s: str | None) -> dict:
+    """[preamp-dB][a|t][l|L][n{0..3}] (main.c:697-721). With no argument the
+    defaults are album gain + hard limiter + low noise shaping (main.c:540-543);
+    giving an argument resets limiter/shaping to none (main.c:701-703) but
+    leaves the album-gain default in place."""
     import re
-    spec = dict(preamp=0.0, album=False, limiter="none", noise_shaping=0)
+    if s is None:
+        return dict(preamp=0.0, album=True, limiter="hard", noise_shaping=1)
+    spec = dict(preamp=0.0, album=True, limiter="none", noise_shaping=0)
     m = re.match(r"[-+]?\d*\.?\d*", s)
     if m and m.group(0) not in ("", "+", "-"):
         spec["preamp"] = float(m.group(0))
@@ -501,7 +505,7 @@ def _parse_apodization(s: str) -> tuple:
 # ---------------------------------------------------------------------------
 
 
-def _read_input(path: str, o: Options) -> tuple[AudioBuffer, str]:
+def _read_input(path: str, o: Options) -> tuple[AudioBuffer, str, bytes]:
     if path == "-":
         data = sys.stdin.buffer.read()
     else:
@@ -513,28 +517,28 @@ def _read_input(path: str, o: Options) -> tuple[AudioBuffer, str]:
     if kind in ("wav", "rf64"):
         strict = o.mode == "encode" and not o.channel_map_none
         return parse_wav(data, ignore_chunk_sizes=o.ignore_chunk_sizes,
-                         strict_channel_mask=strict), kind
+                         strict_channel_mask=strict), kind, data
     if kind == "w64":
-        return parse_w64(data), kind
+        return parse_w64(data), kind, data
     if kind == "aiff":
-        return parse_aiff(data, ignore_chunk_sizes=o.ignore_chunk_sizes), kind
+        return parse_aiff(data, ignore_chunk_sizes=o.ignore_chunk_sizes), kind, data
     if kind == "flac":
         from flac_tpu.decode.stream import decode_bytes_device
         pcm, si, _ = decode_bytes_device(data)
         return AudioBuffer(samples=pcm, sample_rate=si.sample_rate,
-                           bits_per_sample=si.bits_per_sample), kind
+                           bits_per_sample=si.bits_per_sample), kind, data
     if kind == "ogg":
         from flac_tpu.ogg import decode_ogg_flac
         pcm, si, _meta = decode_ogg_flac(data)
         return AudioBuffer(samples=pcm, sample_rate=si.sample_rate,
-                           bits_per_sample=si.bits_per_sample), kind
+                           bits_per_sample=si.bits_per_sample), kind, data
     if kind == "raw":
         if not (o.raw_channels and o.raw_bps and o.raw_rate):
             raise CLIError("raw input requires --channels, --bps and --sample-rate")
         return parse_raw(data, channels=o.raw_channels, bits_per_sample=o.raw_bps,
                          sample_rate=o.raw_rate,
                          is_big_endian=o.raw_endian == "big",
-                         is_unsigned=o.raw_sign == "unsigned"), kind
+                         is_unsigned=o.raw_sign == "unsigned"), kind, data
     raise CLIError(f"unsupported input format {kind}")
 
 
@@ -575,7 +579,8 @@ def _copy_modtime(src: str, dst: str) -> None:
         pass
 
 
-def _build_metadata(o: Options, buf: AudioBuffer, total: int, kind: str):
+def _build_metadata(o: Options, buf: AudioBuffer, total: int, kind: str,
+                    fm=None):
     from flac_tpu.grabbag import (
         cuesheet_parse,
         picture_from_specification,
@@ -589,8 +594,17 @@ def _build_metadata(o: Options, buf: AudioBuffer, total: int, kind: str):
     )
 
     blocks = []
-    if o.tags:
-        blocks.append(VorbisComment(vendor_string="", comments=list(o.tags)))
+    tags = list(o.tags)
+    if buf.channel_mask:
+        # WAVEFORMATEXTENSIBLE inputs carry their speaker mask through a
+        # vorbis tag so decode can rebuild the same fmt chunk
+        # (flac__utils_set_channel_mask_tag, utils.c:279-297; replaces any
+        # user-supplied copy of the tag)
+        tags = [t for t in tags if not t.upper().startswith(
+            "WAVEFORMATEXTENSIBLE_CHANNEL_MASK=")]
+        tags.append(f"WAVEFORMATEXTENSIBLE_CHANNEL_MASK=0x{buf.channel_mask:04X}")
+    if tags:
+        blocks.append(VorbisComment(vendor_string="", comments=tags))
     cuesheet = None
     if o.cuesheet_file:
         with open(o.cuesheet_file, encoding="utf-8") as f:
@@ -626,12 +640,12 @@ def _build_metadata(o: Options, buf: AudioBuffer, total: int, kind: str):
         # the StreamEncoder adopts a user-supplied SEEKTABLE and fills it
         # in during writes, so don't also pass a seekpoints list
         blocks.append(SeekTable(points=points))
-    if o.keep_foreign and buf.foreign_chunks:
-        app_id = {"aiff": b"aiff", "wav": b"riff", "rf64": b"riff",
-                  "w64": b"w64 "}.get(kind)
-        if app_id:
-            for _cid, chunk_bytes in buf.foreign_chunks:
-                blocks.append(Application(app_id=app_id, data=chunk_bytes))
+    if fm is not None:
+        # one APPLICATION block per stored container chunk, in file order
+        # (foreign_metadata.c read_from_*_; encode.c:2029-2040 reserves the
+        # space, flac__foreign_metadata_write_to_flac fills it)
+        for chunk_bytes in fm.blocks:
+            blocks.append(Application(app_id=fm.app_id, data=chunk_bytes))
     if o.padding is None:
         # FLAC_ENCODE__DEFAULT_PADDING (encode.c:121,1986)
         pad = 8192 if total // max(buf.sample_rate, 1) < 20 * 60 else 8192 * 8
@@ -647,13 +661,27 @@ def encode_one(path: str, o: Options, is_last: bool = True) -> int:
     from flac_tpu.cli.specs import parse_cue, resolve_cue, resolve_skip_until
     from flac_tpu.encode.encoder import encode_file
 
-    buf, kind = _read_input(path, o)
+    buf, kind, raw_data = _read_input(path, o)
     if o.sector_align:
         if kind in ("flac", "ogg"):
             raise CLIError("--sector-align not supported for FLAC input")
         if (buf.sample_rate, buf.channels, buf.bits_per_sample) != (44100, 2, 16):
             raise CLIError("--sector-align can only be done with 16-bit stereo "
                            "44100 Hz input")
+    fm = None
+    if o.keep_foreign:
+        # gating per main.c:1750-1760
+        if path == "-" or o.to_stdout or o.output_name == "-":
+            raise CLIError("--keep-foreign-metadata cannot be used when "
+                           "encoding from stdin or to stdout")
+        if kind not in ("wav", "rf64", "w64", "aiff"):
+            raise CLIError("--keep-foreign-metadata can only be used with "
+                           "WAVE, Wave64, RF64, or AIFF input")
+        from flac_tpu.cli.foreign import ForeignError, scan_container
+        try:
+            fm = scan_container(raw_data, kind)
+        except ForeignError as e:
+            raise CLIError(str(e))
     total = buf.nsamples
     skip, until = resolve_skip_until(o.skip, o.until, buf.sample_rate, total)
     sig = buf.samples[skip:until]
@@ -673,7 +701,7 @@ def encode_one(path: str, o: Options, is_last: bool = True) -> int:
             o.align_reservoir = sig[len(sig) - rem:] if rem else None
             if rem:
                 sig = sig[: len(sig) - rem]
-    blocks, seekpoints, _ = _build_metadata(o, buf, len(sig), kind)
+    blocks, seekpoints, _ = _build_metadata(o, buf, len(sig), kind, fm)
 
     overrides: dict = {}
     if o.mid_side is not None:
@@ -795,6 +823,12 @@ def decode_one(path: str, o: Options) -> int:
         from flac_tpu.ogg import flac_stream_from_ogg
         data = flac_stream_from_ogg(data)
     pcm, si = _decode_window(o, data)
+    # container output stores bps%8!=0 streams left-justified in the next
+    # whole byte (decode.c:962,1094-1097); the RG path instead converts to
+    # the padded width inside apply_gain (decode.c:1108)
+    shift = 0 if o.force_raw else (8 - si.bits_per_sample % 8) % 8
+    if shift and o.apply_rg is None:
+        pcm = pcm << shift
     if o.apply_rg is not None:
         from flac_tpu.replaygain import apply_gain, load_tags
         tags = load_tags(path, album=o.apply_rg["album"]) if path != "-" else None
@@ -802,40 +836,69 @@ def decode_one(path: str, o: Options) -> int:
             raise CLIError("no ReplayGain tags found (run --replay-gain / "
                            "metaflac --add-replay-gain first)")
         gain, peak = tags
-        scale_db = gain + o.apply_rg["preamp"]
-        if o.apply_rg["limiter"] == "peak" and peak > 0:
-            # RGSS_LIMIT__PEAK: never scale above 1/peak (decode.c)
-            import math
-            scale_db = min(scale_db, -20.0 * math.log10(peak))
-        pcm = apply_gain(pcm, scale_db, si.bits_per_sample,
+        # RGSS_LIMIT__PEAK caps the linear scale at 1/peak
+        # (grabbag__replaygain_compute_scale_factor, decode.c:1351)
+        pcm = apply_gain(pcm, gain, si.bits_per_sample,
+                         target_bps=si.bits_per_sample + shift,
+                         preamp_db=o.apply_rg["preamp"], peak=peak,
+                         prevent_clipping=o.apply_rg["limiter"] == "peak",
                          hard_limit=o.apply_rg["limiter"] == "hard",
-                         dither=o.apply_rg["noise_shaping"] > 0)
+                         noise_shaping=o.apply_rg["noise_shaping"],
+                         chunk=si.max_blocksize)
     buf = AudioBuffer(samples=pcm, sample_rate=si.sample_rate,
                       bits_per_sample=si.bits_per_sample)
+    # WAVEFORMATEXTENSIBLE_CHANNEL_MASK tag restores the source speaker mask
+    # (flac__utils_get_channel_mask_tag, decode.c:1359)
+    channel_mask = 0
+    try:
+        from flac_tpu.metadata import VorbisComment, parse_metadata
+        meta_blocks, _ = parse_metadata(data, 4)
+        for b in meta_blocks:
+            if isinstance(b, VorbisComment):
+                for c in b.comments:
+                    name, _, val = c.partition("=")
+                    if (name.upper() == "WAVEFORMATEXTENSIBLE_CHANNEL_MASK"
+                            and val[:2].lower() == "0x"):
+                        channel_mask = int(val, 16)
+    except Exception:
+        meta_blocks = []
     foreign = None
     if o.keep_foreign:
-        # restore chunks stored in APPLICATION blocks ids riff/aiff/w64
-        # (foreign_metadata.c:44,438-462)
-        from flac_tpu.metadata import Application, parse_metadata
-        want = b"aiff" if o.force_aiff else (b"w64 " if o.force_w64 else b"riff")
+        # gating per main.c:2038-2043; restore chunks stored in APPLICATION
+        # blocks ids riff/aiff/w64 (foreign_metadata.c:44,477-643)
+        if path == "-" or o.to_stdout or o.output_name == "-":
+            raise CLIError("--keep-foreign-metadata cannot be used when "
+                           "decoding from stdin or to stdout")
+        if o.force_raw:
+            raise CLIError("--keep-foreign-metadata can only be used with "
+                           "WAVE, Wave64, RF64, or AIFF output")
+        from flac_tpu.cli.foreign import (
+            APPLICATION_IDS,
+            ForeignError,
+            from_application_blocks,
+        )
+        from flac_tpu.metadata import Application
+        kind_out = ("aiff" if o.force_aiff else "w64" if o.force_w64
+                    else "rf64" if o.force_rf64 else "wav")
+        want = APPLICATION_IDS[kind_out]
+        datas = [b.data for b in meta_blocks
+                 if isinstance(b, Application) and b.app_id == want]
         try:
-            blocks, _ = parse_metadata(data, 4)
-            foreign = [(b.data[:4], b.data) for b in blocks
-                       if isinstance(b, Application) and b.app_id == want]
-        except Exception:
-            foreign = None
+            foreign = from_application_blocks(datas, kind_out)
+        except ForeignError as e:
+            raise CLIError(str(e))
     if o.force_raw:
         out = raw_bytes(buf, is_big_endian=o.raw_endian == "big",
                         is_unsigned=o.raw_sign == "unsigned")
     elif o.force_aiff:
-        out = aiff_bytes(buf, foreign_chunks=foreign)
+        out = aiff_bytes(buf, foreign=foreign)
     elif o.force_rf64:
         from flac_tpu.containers import rf64_bytes
-        out = rf64_bytes(buf, foreign_chunks=foreign)
+        out = rf64_bytes(buf, foreign=foreign, channel_mask=channel_mask)
     elif o.force_w64:
-        out = w64_bytes(buf)
+        out = w64_bytes(buf, foreign=foreign, channel_mask=channel_mask)
     else:
-        out = wav_bytes(buf, foreign_chunks=foreign)
+        out = wav_bytes(buf, foreign=foreign, channel_mask=channel_mask)
     out_path = o.output_name or _default_outname(path, o)
     if o.to_stdout or out_path == "-":
         sys.stdout.buffer.write(out)
@@ -941,7 +1004,13 @@ def main(argv: list[str] | None = None) -> int:
         # JAX_PLATFORMS, so tests/pipelines need an explicit pin)
         import jax
         try:
-            jax.config.update("jax_default_device", jax.devices(dev)[0])
+            if dev == "cpu":
+                # restrict platform discovery entirely: jax.devices("cpu")
+                # would still initialize the (possibly slow/hung) TPU
+                # tunnel plugin as a side effect
+                jax.config.update("jax_platforms", "cpu")
+            else:
+                jax.config.update("jax_default_device", jax.devices(dev)[0])
         except RuntimeError:
             pass
     try:
@@ -970,6 +1039,14 @@ def main(argv: list[str] | None = None) -> int:
             if o.keep_foreign:
                 raise CLIError("--keep-foreign-metadata cannot be used with "
                                "--ignore-chunk-sizes")
+        if o.keep_foreign:
+            # main.c:1750-1756
+            if o.mode == "test":
+                raise CLIError("--keep-foreign-metadata is not allowed in "
+                               "test mode")
+            if o.mode == "analyze":
+                raise CLIError("--keep-foreign-metadata is not allowed in "
+                               "analyis mode")
         if o.sector_align:
             # main.c:414-429 (deprecated feature, kept for parity)
             if o.mode != "encode":

@@ -574,6 +574,18 @@ def apply_ops(path: str, o: Options, out) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    dev = os.environ.get("FLAC_TPU_DEVICE")
+    if dev:
+        # same pin as cli/flac.py: the axon TPU plugin ignores
+        # JAX_PLATFORMS, and cpu-only runs must not touch the tunnel
+        import jax
+        try:
+            if dev == "cpu":
+                jax.config.update("jax_platforms", "cpu")
+            else:
+                jax.config.update("jax_default_device", jax.devices(dev)[0])
+        except RuntimeError:
+            pass
     try:
         o = parse_args(argv)
     except CLIError as e:

@@ -123,7 +123,12 @@ def read_aiff(path: str) -> AudioBuffer:
         return parse_aiff(f.read())
 
 
-def aiff_bytes(buf: AudioBuffer, foreign_chunks: list | None = None) -> bytes:
+def aiff_bytes(buf: AudioBuffer, foreign=None) -> bytes:
+    """Serialize to AIFF exactly as the reference decoder does
+    (decode.c:733-782): FORM header [foreign before COMM] COMM [foreign
+    between] SSND(offset=0,blockSize=0)+PCM (2-aligned) [foreign after].
+    `foreign` is a cli.foreign.ForeignMetadata; the reference always
+    restores with SSND offset 0 regardless of the stored offset bytes."""
     bits = buf.bits_per_sample
     bytes_per = (bits + 7) // 8
     flat = np.ascontiguousarray(buf.samples, dtype=np.int32).reshape(-1)
@@ -140,16 +145,22 @@ def aiff_bytes(buf: AudioBuffer, foreign_chunks: list | None = None) -> bytes:
     else:
         raise ValueError(f"unsupported bits per sample {bits}")
     comm = struct.pack(">hIh", buf.channels, buf.nsamples, bits) + _f80_encode(buf.sample_rate)
-    ssnd = struct.pack(">II", 0, 0) + pcm
-    extra = b"".join(raw for _cid, raw in (foreign_chunks or []))
+    aligned = len(pcm) + (len(pcm) & 1)
+    extra = foreign.extra_size() if foreign else 0
     out = bytearray()
-    body_len = 4 + 8 + len(comm) + 8 + len(ssnd) + (len(ssnd) & 1) + len(extra)
-    out += b"FORM" + struct.pack(">I", body_len) + b"AIFF"
+    # decode.c:610: iff_size = 46 + foreign + aligned data
+    out += b"FORM" + struct.pack(">I", 46 + extra + aligned) + b"AIFF"
+    if foreign:
+        out += foreign.chunks_before_format()
     out += b"COMM" + struct.pack(">I", len(comm)) + comm
-    out += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
-    if len(ssnd) & 1:
+    if foreign:
+        out += foreign.chunks_between()
+    out += b"SSND" + struct.pack(">I", len(pcm) + 8) + struct.pack(">II", 0, 0)
+    out += pcm
+    if len(pcm) & 1:
         out += b"\x00"
-    out += extra  # restored foreign chunks (--keep-foreign-metadata)
+    if foreign:
+        out += foreign.chunks_after()
     return bytes(out)
 
 

@@ -38,6 +38,7 @@ def parse_w64(data: bytes) -> AudioBuffer:
     pos = 40
     fmt = None
     pcm = None
+    mask = 0
     foreign: list[tuple[bytes, bytes]] = []
     while pos + _HDR <= len(data):
         guid = data[pos : pos + 16]
@@ -49,9 +50,12 @@ def parse_w64(data: bytes) -> AudioBuffer:
             tag, channels, rate, _brate, _align, bits = struct.unpack_from("<HHIIHH", body, 0)
             if tag == WAVE_FORMAT_EXTENSIBLE:
                 valid_bits = struct.unpack_from("<H", body, 18)[0]
+                mask = struct.unpack_from("<I", body, 20)[0]
                 sub = struct.unpack_from("<H", body, 24)[0]
                 if sub != WAVE_FORMAT_PCM:
                     raise ValueError("only PCM WAVE_FORMAT_EXTENSIBLE is supported")
+                if mask == 0:
+                    mask = {1: 0x0001, 2: 0x0003}.get(channels, 0)
                 fmt = (channels, rate, bits, valid_bits or bits)
             elif tag == WAVE_FORMAT_PCM:
                 fmt = (channels, rate, bits, bits)
@@ -69,7 +73,7 @@ def parse_w64(data: bytes) -> AudioBuffer:
     if valid_bits < container_bits:
         samples = samples >> (container_bits - valid_bits)
     return AudioBuffer(samples=samples, sample_rate=rate, bits_per_sample=valid_bits,
-                       foreign_chunks=foreign)
+                       foreign_chunks=foreign, channel_mask=mask)
 
 
 def read_w64(path: str) -> AudioBuffer:
@@ -77,25 +81,33 @@ def read_w64(path: str) -> AudioBuffer:
         return parse_w64(f.read())
 
 
-def w64_bytes(buf: AudioBuffer) -> bytes:
-    from flac_tpu.containers.wav import wav_bytes
+def w64_bytes(buf: AudioBuffer, foreign=None, channel_mask: int = 0) -> bytes:
+    """Serialize to Wave64 exactly as the reference decoder does
+    (decode.c:536-737): GUID header [foreign before fmt] fmt [foreign
+    between] data+PCM (8-aligned) [foreign after]. Chunk size fields
+    include the 24-byte header; `foreign` is a cli.foreign.ForeignMetadata.
+    """
+    from flac_tpu.containers.wav import _fmt_chunk_body, _wav_pcm_bytes
 
-    # reuse the RIFF PCM serializer for the payloads
-    riff = wav_bytes(buf)
-    # riff layout: RIFF(12) fmt hdr(8)+16 data hdr(8)+pcm
-    fmt_body = riff[20:36]
-    (data_size,) = struct.unpack_from("<I", riff, 40)
-    pcm = riff[44 : 44 + data_size]
-
-    def chunk(guid: bytes, body: bytes) -> bytes:
-        size = _HDR + len(body)
-        pad = _align8(size) - size
-        return guid + struct.pack("<Q", size) + body + b"\x00" * pad
-
-    fmt_chunk = chunk(GUID_FMT, fmt_body)
-    data_chunk = chunk(GUID_DATA, pcm)
-    total = 16 + 8 + 16 + len(fmt_chunk) + len(data_chunk)
-    return GUID_RIFF + struct.pack("<Q", total) + GUID_WAVE + fmt_chunk + data_chunk
+    pcm = _wav_pcm_bytes(buf)
+    aligned = _align8(len(pcm))
+    fmt_body, _ext = _fmt_chunk_body(buf, channel_mask)
+    extra = foreign.extra_size() if foreign else 0
+    # decode.c:608: header + WAVE GUID + fmt chunk + data chunk header
+    iff_size = (16 + 8) + 16 + (16 + 8 + len(fmt_body)) + (16 + 8) \
+        + extra + aligned
+    out = bytearray()
+    out += GUID_RIFF + struct.pack("<Q", iff_size) + GUID_WAVE
+    if foreign:
+        out += foreign.chunks_before_format()
+    out += GUID_FMT + struct.pack("<Q", _HDR + len(fmt_body)) + fmt_body
+    if foreign:
+        out += foreign.chunks_between()
+    out += GUID_DATA + struct.pack("<Q", _HDR + len(pcm)) + pcm
+    out += b"\x00" * (aligned - len(pcm))
+    if foreign:
+        out += foreign.chunks_after()
+    return bytes(out)
 
 
 def write_w64(path: str, buf: AudioBuffer) -> None:

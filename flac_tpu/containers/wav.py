@@ -31,6 +31,9 @@ class AudioBuffer:
     bits_per_sample: int
     # foreign chunks for --keep-foreign-metadata (chunk id -> raw bytes, in order)
     foreign_chunks: list[tuple[bytes, bytes]] = field(default_factory=list)
+    # WAVEFORMATEXTENSIBLE channel mask of the source (0 = none/unknown);
+    # carried into a WAVEFORMATEXTENSIBLE_CHANNEL_MASK tag by the CLI
+    channel_mask: int = 0
 
     @property
     def nsamples(self) -> int:
@@ -121,7 +124,7 @@ def parse_wav(data: bytes, ignore_chunk_sizes: bool = False,
                     raise ValueError(
                         f"channel mask 0x{mask:04X} does not assign exactly "
                         f"{channels} channels")
-                fmt = (channels, rate, bits, valid_bits or bits)
+                fmt = (channels, rate, bits, valid_bits or bits, mask)
             elif tag == WAVE_FORMAT_PCM:
                 if channels > 2 and strict_channel_mask:
                     raise ValueError(
@@ -147,12 +150,13 @@ def parse_wav(data: bytes, ignore_chunk_sizes: bool = False,
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
-    channels, rate, container_bits, valid_bits = fmt
+    channels, rate, container_bits, valid_bits = fmt[:4]
     samples = _decode_pcm(pcm, container_bits, channels)
     if valid_bits != container_bits and valid_bits < container_bits:
         samples = samples >> (container_bits - valid_bits)
+    mask = fmt[4] if len(fmt) > 4 else 0
     return AudioBuffer(samples=samples, sample_rate=rate, bits_per_sample=valid_bits,
-                       foreign_chunks=foreign)
+                       foreign_chunks=foreign, channel_mask=mask)
 
 
 def write_wav(path: str, buf: AudioBuffer) -> None:
@@ -160,50 +164,85 @@ def write_wav(path: str, buf: AudioBuffer) -> None:
         f.write(wav_bytes(buf))
 
 
-def rf64_bytes(buf: AudioBuffer, foreign_chunks: list | None = None) -> bytes:
-    """RF64 output (decode --force-rf64-format): 'RF64' form with size
-    sentinels 0xFFFFFFFF and the 64-bit sizes carried in a ds64 chunk
-    (reference decode.c:597-718)."""
-    wav = wav_bytes(buf, foreign_chunks=foreign_chunks)
-    fmt_and_rest = wav[12:]  # after "RIFF"<size>"WAVE"
-    di = fmt_and_rest.find(b"data")
-    data_size = struct.unpack_from("<I", fmt_and_rest, di + 4)[0]
-    body = bytearray(fmt_and_rest)
-    struct.pack_into("<I", body, di + 4, 0xFFFFFFFF)
-    ds64 = b"ds64" + struct.pack("<IQQQI", 28,
-                                 4 + 36 + len(body), data_size,
-                                 buf.nsamples, 0)
-    out = b"RF64" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE" + ds64 + bytes(body)
-    return out
+def _wav_pcm_bytes(buf: AudioBuffer) -> bytes:
+    bits = buf.bits_per_sample
+    bytes_per = (bits + 7) // 8
+    flat = np.ascontiguousarray(buf.samples, dtype=np.int32).reshape(-1)
+    if bytes_per == 1:
+        return (flat + 128).astype(np.uint8).tobytes()
+    if bytes_per == 2:
+        return flat.astype("<i2").tobytes()
+    if bytes_per == 3:
+        le = flat.astype("<i4").view(np.uint8).reshape(-1, 4)
+        return np.ascontiguousarray(le[:, :3]).tobytes()
+    if bytes_per == 4:
+        return flat.astype("<i4").tobytes()
+    raise ValueError(f"unsupported bits per sample {bits}")
 
 
-def wav_bytes(buf: AudioBuffer, foreign_chunks: list | None = None) -> bytes:
+# KSDATAFORMAT_SUBTYPE_PCM (decode.c:816)
+_SUBTYPE_PCM_GUID = b"\x01\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
+def _fmt_chunk_body(buf: AudioBuffer, channel_mask: int) -> tuple[bytes, bool]:
+    """fmt body + whether it is WAVEFORMATEXTENSIBLE. Extensible exactly when
+    the reference decoder would emit it: mask==2 or mask>3 or bps%8 or >2ch
+    (decode.c:545-551, write_riff_wave_fmt_chunk_body:785-818)."""
     bits = buf.bits_per_sample
     bytes_per = (bits + 7) // 8
     channels = buf.channels
-    flat = np.ascontiguousarray(buf.samples, dtype=np.int32).reshape(-1)
-    if bytes_per == 1:
-        pcm = (flat + 128).astype(np.uint8).tobytes()
-    elif bytes_per == 2:
-        pcm = flat.astype("<i2").tobytes()
-    elif bytes_per == 3:
-        le = flat.astype("<i4").view(np.uint8).reshape(-1, 4)
-        pcm = np.ascontiguousarray(le[:, :3]).tobytes()
-    elif bytes_per == 4:
-        pcm = flat.astype("<i4").tobytes()
-    else:
-        raise ValueError(f"unsupported bits per sample {bits}")
-    block_align = channels * bytes_per
-    byte_rate = buf.sample_rate * block_align
-    fmt = struct.pack("<HHIIHH", WAVE_FORMAT_PCM, channels, buf.sample_rate,
-                      byte_rate, block_align, bits)
-    extra = b"".join(raw for _cid, raw in (foreign_chunks or []))
+    if channel_mask == 0:
+        # defaults the reference picks per channel count (decode.c:350-377)
+        channel_mask = {1: 0x0001, 2: 0x0003, 3: 0x0007, 4: 0x0033,
+                        5: 0x0607, 6: 0x060F}.get(channels, 0)
+    ext = (channel_mask == 2 or channel_mask > 3 or bits % 8 != 0
+           or channels > 2)
+    body = struct.pack("<HHIIHH",
+                       WAVE_FORMAT_EXTENSIBLE if ext else WAVE_FORMAT_PCM,
+                       channels, buf.sample_rate,
+                       buf.sample_rate * channels * bytes_per,
+                       channels * bytes_per, bytes_per * 8)
+    if ext:
+        body += struct.pack("<HHI", 22, bits, channel_mask) + _SUBTYPE_PCM_GUID
+    return body, ext
+
+
+def rf64_bytes(buf: AudioBuffer, foreign=None, channel_mask: int = 0) -> bytes:
+    """RF64 output (decode --force-rf64-format): 'RF64' form with size
+    sentinels 0xFFFFFFFF and the 64-bit sizes carried in a ds64 chunk
+    (reference decode.c:597-718)."""
+    return wav_bytes(buf, foreign=foreign, channel_mask=channel_mask,
+                     rf64=True)
+
+
+def wav_bytes(buf: AudioBuffer, foreign=None, channel_mask: int = 0,
+              rf64: bool = False) -> bytes:
+    """Serialize to RIFF WAVE (or RF64) exactly as the reference decoder
+    does (decode.c:536-737 write_iff_headers): RIFF header [+ds64]
+    [foreign chunks before fmt] fmt [foreign between] data+PCM (2-aligned)
+    [foreign after]. `foreign` is a cli.foreign.ForeignMetadata."""
+    pcm = _wav_pcm_bytes(buf)
+    aligned = len(pcm) + (len(pcm) & 1)
+    fmt, _ext = _fmt_chunk_body(buf, channel_mask)
+    extra = foreign.extra_size() if foreign else 0
+    iff_size = 4 + (36 if rf64 else 0) + 8 + len(fmt) + 8 + extra + aligned
+    if not rf64 and iff_size >= 0xFFFFFFF4:
+        raise ValueError("stream is too big to fit in a single WAVE file")
     out = bytearray()
-    out += b"RIFF" + struct.pack(
-        "<I", 4 + 8 + len(fmt) + 8 + len(pcm) + (len(pcm) & 1) + len(extra)) + b"WAVE"
+    if rf64:
+        out += b"RF64" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+        out += b"ds64" + struct.pack("<IQQQI", 28, iff_size, len(pcm),
+                                     buf.nsamples, 0)
+    else:
+        out += b"RIFF" + struct.pack("<I", iff_size) + b"WAVE"
+    if foreign:
+        out += foreign.chunks_before_format()
     out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    out += b"data" + struct.pack("<I", len(pcm)) + pcm
+    if foreign:
+        out += foreign.chunks_between()
+    out += b"data" + struct.pack("<I", 0xFFFFFFFF if rf64 else len(pcm)) + pcm
     if len(pcm) & 1:
         out += b"\x00"
-    out += extra  # restored foreign chunks (--keep-foreign-metadata)
+    if foreign:
+        out += foreign.chunks_after()
     return bytes(out)

@@ -230,33 +230,186 @@ def load_tags(path: str, album: bool) -> tuple[float, float] | None:
     return gain, peak
 
 
-# -- synthesis (replaygain_synthesis.c:300-440) -------------------------------
+# -- synthesis (replaygain_synthesis.c:216,300-462) ---------------------------
+
+# 16-tap psychoacoustic shaping filters (the reference's embedded WaveGain
+# coefficient sets F44_1..3, replaygain_synthesis.c:131-196), used by the
+# pure-Python fallback; the native runtime carries its own copy
+_RG_F44 = np.array([
+    [0.85018292704024355931, 0.29089597350995344721, -0.05021866022121039450,
+     -0.23545456294599161833, -0.58362726442227032096, -0.67038978965193036429,
+     -0.38566861572833459221, -0.15218663390367969967, -0.02577543084864530676,
+     0.14119295297688728127, 0.22398848581628781612, 0.15401727203382084116,
+     0.05216161232906000929, -0.00282237820999675451, -0.03042794608323867363,
+     -0.03109780942998826024],
+    [1.78827593892108555290, 0.95508210637394326553, -0.18447626783899924429,
+     -0.44198126506275016437, -0.88404052492547413497, -1.42218907262407452967,
+     -1.02037566838362314995, -0.34861755756425577264, -0.11490230170431934434,
+     0.12498899339968611803, 0.38065885268563131927, 0.31883491321310506562,
+     0.10486838686563442765, -0.03105361685110374845, -0.06450524884075370758,
+     -0.02939198261121969816],
+    [2.89072132015058161445, 2.68932810943698754106, 0.21083359339410251227,
+     -0.98385073324997617515, -1.11047823227097316719, -2.18954076314139673147,
+     -2.36498032881953056225, -0.95484132880101140785, -0.23924057925542965158,
+     -0.13865235703915925642, 0.43587843191057992846, 0.65903257226026665927,
+     0.24361815372443152787, -0.00235974960154720097, 0.01844166574603346289,
+     0.01722945988740875099]], np.float32)
+
+
+def compute_scale_factor(gain_db: float, preamp_db: float = 0.0,
+                         peak: float = 0.0,
+                         prevent_clipping: bool = False) -> float:
+    """Linear scale from gain+preamp, optionally capped at 1/peak
+    (grabbag__replaygain_compute_scale_factor, grabbag/replaygain.c:685-697)."""
+    scale = float(np.float32(10.0 ** ((gain_db + preamp_db) * 0.05)))
+    if prevent_clipping and peak > 0.0:
+        scale = min(scale, float(np.float32(1.0 / peak)))
+    return scale
+
+
+class _PyDitherState:
+    """Pure-Python fallback mirror of the native RgDitherCtx."""
+
+    def __init__(self) -> None:
+        self.r1 = self.r2 = 1
+        self.last_random = [0] * 8
+        self.dither_hist = np.zeros((8, 16), np.float32)
+        self.error_hist = np.zeros((8, 16), np.float32)
+        self.last_history_index = 0
+
+    def rand(self) -> int:
+        t1, t2 = self.r1, self.r2
+        p1 = bin(t1 & 0xF5).count("1") & 1
+        p2 = bin((t2 >> 25) & 0x63).count("1") & 1
+        self.r1 = ((t1 >> 1) | (p1 << 31)) & 0xFFFFFFFF
+        self.r2 = ((t2 + t2) | p2) & 0xFFFFFFFF
+        return self.r1 ^ self.r2
+
+
+def _as_i32(u: int) -> int:
+    return u - (1 << 32) if u >= (1 << 31) else u
+
+
+def _py_apply(state: _PyDitherState, pcm: np.ndarray, source_bps: int,
+              target_bps: int, scale: float, hard_limit: bool,
+              do_dither: bool, shaping: int) -> np.ndarray:
+    """Sample-sequential fallback (same algorithm as the native path;
+    vectorized when no dithering is requested)."""
+    n, ch = pcm.shape
+    conv = 1 << (32 - target_bps)
+    hard_clip = -(1 << (target_bps - 1))
+    multi = scale / (1 << (source_bps - 1))
+    x = pcm.astype(np.float64) * multi
+    if hard_limit:
+        x = np.where(x > 0.5, np.tanh((x - 0.5) / 0.5) * 0.5 + 0.5, x)
+        x = np.where(x < -0.5, np.tanh((x + 0.5) / 0.5) * 0.5 - 0.5, x)
+    x *= 2147483648.0  # the reference's 2147483647.f float literal == 2^31
+    add = 0.5 * ((1 << (32 - target_bps)) - 1)
+    if not do_dither:
+        r = np.round(x + add).astype(np.int64)
+        v = np.sign(r) * (np.abs(r) // conv)  # C trunc-toward-zero division
+        state.last_history_index = (state.last_history_index + n) % 32
+        return np.clip(v, hard_clip, -(hard_clip + 1)).astype(np.int32)
+    shaping = max(0, min(3, shaping))
+    dd = [92, 92, 88, 84, 81, 78, 74, 67, 0, 0]
+    di = max(0, min(9, target_bps - 11 - shaping))
+    dmult = float(np.float32(0.01 * dd[di])) / (1 << target_bps)
+    mask = (~0) << (32 - target_bps)
+    coeff = _RG_F44[shaping - 1 if shaping else 0]
+    out = np.empty_like(pcm)
+    last = state.last_history_index
+    for k in range(ch):
+        for i in range(n):
+            ridx = (i + last) % 32 & 15
+            s = x[i, k]
+            if shaping == 0:
+                tmp = dmult * _as_i32(state.rand())
+                sum2 = tmp - state.last_random[k]
+                state.last_random[k] = int(tmp)
+                val = int(np.round(s + sum2 + add)) & mask
+            else:
+                dh, eh = state.dither_hist[k], state.error_hist[k]
+                rot = np.roll(coeff, -ridx)
+                tri = dmult * (_as_i32(state.rand()) + _as_i32(state.rand()))
+                sum2 = tri - float(dh @ rot)
+                stored = np.float32(sum2)
+                dh[(-1 - ridx) & 15] = stored
+                ssum = s + float(stored)
+                val = int(np.round(ssum + float(eh @ rot) + add)) & mask
+                eh[(-1 - ridx) & 15] = np.float32(ssum - val)
+            v = val // conv if val >= 0 else -((-val) // conv)
+            if v >= -hard_clip:
+                v = -(hard_clip + 1)
+            elif v < hard_clip:
+                v = hard_clip
+            out[i, k] = v
+    state.last_history_index = (last + n) % 32
+    return out
+
+
+class GainApplier:
+    """Streaming gain application with persistent dither state — the analog
+    of (DitherContext, FLAC__replaygain_synthesis__apply_gain) pairs
+    (replaygain_synthesis.h:60, decode.c:1353). Feed chunks in stream order."""
+
+    def __init__(self, source_bps: int, target_bps: int | None = None,
+                 scale: float = 1.0, hard_limit: bool = False,
+                 noise_shaping: int = 0) -> None:
+        self.source_bps = source_bps
+        self.target_bps = target_bps or source_bps
+        self.scale = scale
+        self.hard_limit = hard_limit
+        self.noise_shaping = max(0, min(3, noise_shaping))
+        # the reference CLI dithers iff shaping is enabled (decode.c:1111)
+        self.do_dither = self.noise_shaping != 0
+        try:
+            from flac_tpu._native import RgDitherContext
+            self._native = RgDitherContext()
+        except Exception:
+            self._native = None
+            self._py = _PyDitherState()
+
+    def apply(self, pcm: np.ndarray) -> np.ndarray:
+        if pcm.ndim == 1:
+            pcm = pcm[:, None]
+        if self._native is not None:
+            return self._native.apply(pcm, self.source_bps, self.target_bps,
+                                      self.scale, self.hard_limit,
+                                      self.do_dither, self.noise_shaping)
+        return _py_apply(self._py, pcm, self.source_bps, self.target_bps,
+                         self.scale, self.hard_limit, self.do_dither,
+                         self.noise_shaping)
+
 
 def apply_gain(samples: np.ndarray, gain_db: float, source_bps: int,
                target_bps: int | None = None, preamp_db: float = 0.0,
-               hard_limit: bool = True, dither: bool = False,
-               seed: int = 0) -> np.ndarray:
+               hard_limit: bool = True, noise_shaping: int = 0,
+               peak: float = 0.0, prevent_clipping: bool = False,
+               dither: bool | None = None,
+               chunk: int | None = None) -> np.ndarray:
     """Apply a ReplayGain to int32 PCM, returning int32 PCM at target_bps.
 
-    Vectorized form of FLAC__replaygain_synthesis__apply_gain: normalize to
-    [-1,1), scale, optional hard ±6 dB tanh limiting above half scale, dither
-    (triangular, without the reference's optional noise-shaping filters),
-    convert + clamp to the target width."""
-    if target_bps is None:
-        target_bps = source_bps
-    scale = 10.0 ** ((gain_db + preamp_db) / 20.0)
-    x = samples.astype(np.float64) * (scale / (1 << (source_bps - 1)))
-    if hard_limit:
-        hi = x > 0.5
-        lo = x < -0.5
-        x = np.where(hi, np.tanh((x - 0.5) / 0.5) * 0.5 + 0.5, x)
-        x = np.where(lo, np.tanh((x + 0.5) / 0.5) * 0.5 - 0.5, x)
-    x = x * 2147483647.0
-    if dither:
-        rng = np.random.default_rng(seed)
-        lsb = float(1 << (32 - target_bps))
-        x = x + (rng.random(x.shape) - rng.random(x.shape)) * lsb
-    conv = 1 << (32 - target_bps)
-    v = (x / conv).astype(np.int64)
-    top = (1 << (target_bps - 1)) - 1
-    return np.clip(v, -(top + 1), top).astype(np.int32)
+    One-shot form of FLAC__replaygain_synthesis__apply_gain
+    (replaygain_synthesis.c:300-462): normalize to [-1,1), scale (optionally
+    peak-capped), optional 6 dB tanh limiting above half scale, dither with
+    the selected noise-shaping filter (0=high-passed rectangular as shaped by
+    dither_output_; 1-3=triangular through the 16-tap error-feedback
+    filters), convert + clamp to the target width. `dither` (legacy bool)
+    forces shaping 1 when True and no shaping/dither when False.
+
+    `chunk` feeds the dither state in blocks of that many samples — pass the
+    stream's frame blocksize to reproduce the reference CLI byte-for-byte:
+    its apply_gain runs once per decoded frame (decode.c:1100), so the RNG
+    draws interleave channel-within-block, block by block."""
+    if dither is not None:
+        noise_shaping = 1 if (dither and noise_shaping == 0) else (
+            noise_shaping if dither else 0)
+    scale = compute_scale_factor(gain_db, preamp_db, peak, prevent_clipping)
+    applier = GainApplier(source_bps, target_bps, scale, hard_limit,
+                          noise_shaping)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if not chunk or chunk >= len(samples):
+        return applier.apply(samples)
+    return np.concatenate([applier.apply(samples[i:i + chunk])
+                           for i in range(0, len(samples), chunk)])

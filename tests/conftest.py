@@ -9,10 +9,38 @@ import os
 import subprocess
 from pathlib import Path
 
-# Must be set before jax import. Note: under the axon TPU tunnel the plugin
-# ignores JAX_PLATFORMS, so tests additionally pin jax_default_device to CPU
-# below (fast local compiles; the real-TPU path is exercised by bench.py).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests are CPU-only by design (the real-TPU path is exercised by bench.py).
+# The axon TPU plugin is registered by a sitecustomize.py at interpreter
+# startup whenever /root/.axon_site is on PYTHONPATH, it overrides
+# JAX_PLATFORMS=cpu, and its backend init hangs indefinitely at jax.devices()
+# when its network tunnel is unreachable. Three defenses, all needed:
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# 1. for THIS process: deregister the already-registered plugin before the
+#    first backend init. sitecustomize already imported jax to register it,
+#    so jax's config captured JAX_PLATFORMS=axon at interpreter startup and
+#    the env write above is too late for it — update the live config too.
+try:  # pragma: no cover - only present under the axon environment
+    from jax._src import xla_bridge as _xb
+
+    if "axon" in _xb._backend_factories:
+        _xb._backend_factories.pop("axon")
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
+# 2. for every subprocess the tests spawn: strip the sitecustomize dir from
+#    PYTHONPATH (keeping the repo importable) and drop the plugin trigger env
+import sys  # noqa: E402
+
+sys.path = [p for p in sys.path if ".axon_site" not in p]
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+     if p and ".axon_site" not in p]
+    + [str(Path(__file__).resolve().parent.parent)])
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # sitecustomize's gate
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -155,3 +155,48 @@ class TestCLI:
         expect_ratio = 10 ** (g / 20)
         ratio = np.abs(got).max() / np.abs(sig).max()
         assert abs(ratio - min(expect_ratio, 32767 / np.abs(sig).max())) < 0.1
+
+
+class TestSynthesisOracleDifferential:
+    """Byte-exact parity of --apply-replaygain-which-is-not-lossless with the
+    reference binary: same RNG (two-polycounter, replaygain_synthesis.c:92),
+    same 16-tap noise-shaping filters with float32 error feedback
+    (:131-196,216-262), same per-frame chunking of the dither state
+    (decode.c:1100 applies gain once per decoded frame)."""
+
+    @pytest.mark.parametrize("spec", [None, "t", "an2", "-6tLn3", "0aln1"])
+    def test_apply_gain_matches_reference(self, tmp_path, spec):
+        from tests.conftest import oracle_path
+        oracle = oracle_path()
+        mf = oracle.parent / "metaflac" if oracle else None
+        if oracle is None or not mf.exists():
+            pytest.skip("reference flac/metaflac oracle not available")
+        import subprocess
+        from flac_tpu.cli.flac import main
+        from flac_tpu.containers import AudioBuffer, write_wav
+        n = 44100
+        t = np.arange(n) / 44100.0
+        rng = np.random.default_rng(3)
+        loud = 0.9 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(n)
+        pcm = np.stack([loud, 0.7 * np.sin(2 * np.pi * 523 * t)], axis=1)
+        pcm = np.clip(pcm * 32767, -32768, 32767).astype(np.int32)
+        wav = tmp_path / "rg.wav"
+        write_wav(str(wav), AudioBuffer(samples=pcm, sample_rate=44100,
+                                        bits_per_sample=16))
+        fl = tmp_path / "rg.flac"
+        r = subprocess.run([str(oracle), "-f", "-s", "-o", str(fl), str(wav)],
+                           capture_output=True)
+        assert r.returncode == 0, r.stderr
+        r = subprocess.run([str(mf), "--add-replay-gain", str(fl)],
+                           capture_output=True)
+        assert r.returncode == 0, r.stderr
+        arg = "--apply-replaygain-which-is-not-lossless" + (
+            f"={spec}" if spec is not None else "")
+        ref = tmp_path / "ref.wav"
+        r = subprocess.run([str(oracle), "-d", "-f", "-s", arg, "-o",
+                            str(ref), str(fl)], capture_output=True)
+        assert r.returncode == 0, r.stderr
+        ours = tmp_path / "ours.wav"
+        assert main(["--totally-silent", "-d", "-f", arg, "-o", str(ours),
+                     str(fl)]) == 0
+        assert ours.read_bytes() == ref.read_bytes()

@@ -236,10 +236,19 @@ def ogg_from_flac_stream(flac_data: bytes, serial: int = 0x464C4143) -> bytes:
         frame_spans.append((pos, pos + fi.size))
         pos += fi.size
 
+    # granule = last sample of the frame + 1 (ogg_encoder_aspect.c:194).
+    # Parse each frame's own header: variable-blocksize streams carry a
+    # sample number + per-frame blocksize, fixed-blocksize streams a frame
+    # number — (k+1)*min_blocksize would be wrong for the former and for a
+    # short final frame.
+    from flac_tpu.bitio import BitReader
     total = si.total_samples
-    bs = si.min_blocksize
     for k, (s, e) in enumerate(frame_spans):
-        granule = min((k + 1) * bs, total) if total else (k + 1) * bs
+        fbs, _sr, _ch, _asgn, _bps, num_is_sample, num = \
+            host.read_frame_header(BitReader(flac_data, s * 8))
+        granule = (num + fbs) if num_is_sample else num * si.min_blocksize + fbs
+        if total:
+            granule = min(granule, total)
         is_last = k == len(frame_spans) - 1
         new_pages, seqno = _paginate_packet(flac_data[s:e], serial, seqno,
                                             granule, eos=is_last)

@@ -117,6 +117,65 @@ class TestMapping:
         assert granules[-1] == 4096 + 100
         assert granules[0] == 4096
 
+    def test_granules_variable_blocksize_rewrap(self):
+        """ogg_from_flac_stream on a foreign variable-blocksize stream must
+        emit cumulative-sample granules from each frame's own header, not
+        (k+1)*min_blocksize (ogg_encoder_aspect.c:194)."""
+        flac, blocksizes, pcm = _make_variable_blocksize_flac([64, 160, 96, 23])
+        # sanity: our host decoder accepts the hand-built stream
+        from flac_tpu.decode.host_decoder import decode_bytes
+        out, si, _infos = decode_bytes(flac, check_md5=False)
+        np.testing.assert_array_equal(out[:, 0], pcm)
+        ogg = ogg_from_flac_stream(flac)
+        granules = [g for h, g, s, q, segs in parse_pages(ogg)
+                    if g not in (0, (1 << 64) - 1)]
+        assert granules == list(np.cumsum(blocksizes))
+        # and the rewrapped stream still unwraps to the identical bytes
+        assert flac_stream_from_ogg(ogg) == flac
+
+
+def _make_variable_blocksize_flac(blocksizes):
+    """Hand-assemble a spec-valid variable-blocksize FLAC stream (mono, 8-bit,
+    8 kHz, verbatim subframes) — neither our encoder nor the reference's
+    normally emits blocking_strategy=1, so build it from the format spec
+    (frame header layout: stream_decoder.c read_frame_header_)."""
+    from flac_tpu.bitio import BitWriter
+    from flac_tpu.crc import crc8, crc16
+    from flac_tpu.metadata import StreamInfo, serialize_block
+
+    rng = np.random.default_rng(3)
+    total = int(sum(blocksizes))
+    pcm = rng.integers(-128, 128, total, np.int64)
+    si = StreamInfo(min_blocksize=min(blocksizes), max_blocksize=max(blocksizes),
+                    sample_rate=8000, channels=1, bits_per_sample=8,
+                    total_samples=total)
+    out = bytearray(b"fLaC" + serialize_block(si, is_last=True))
+    sample_no = 0
+    for bs in blocksizes:
+        w = BitWriter()
+        w.write_bits(0b11111111111110, 14)  # sync
+        w.write_bits(0, 1)                  # reserved
+        w.write_bits(1, 1)                  # blocking strategy: variable
+        w.write_bits(0b0111, 4)             # blocksize: 16-bit at end of header
+        w.write_bits(0b0100, 4)             # sample rate: 8 kHz
+        w.write_bits(0, 4)                  # channel assignment: mono
+        w.write_bits(0b001, 3)              # bps: 8
+        w.write_bits(0, 1)                  # reserved
+        w.write_utf8_u64(sample_no)         # sample number (variable streams)
+        w.write_bits(bs - 1, 16)
+        hdr = w.getvalue()
+        w.write_bits(crc8(hdr), 8)
+        w.write_bits(0, 1)                  # subframe: pad bit
+        w.write_bits(0b000001, 6)           # verbatim
+        w.write_bits(0, 1)                  # no wasted bits
+        for v in pcm[sample_no:sample_no + bs]:
+            w.write_signed_bits(int(v), 8)
+        w.zero_pad_to_byte()
+        body = w.getvalue()
+        out += body + crc16(body).to_bytes(2, "big")
+        sample_no += bs
+    return bytes(out), blocksizes, pcm
+
 
 class TestCLIOgg:
     def test_flac_cli_ogg(self, tmp_path):

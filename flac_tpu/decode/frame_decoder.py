@@ -341,9 +341,13 @@ def build_frame_decoder(geom: DecoderGeometry):
             return (pos + spent, k, rawlen, ovf, limbs[0], limbs[1], limbs[2],
                     limbs[3], navail, wpos), jnp.stack(outs)
 
+        # zero/false carries derive from `pos` (not fresh constants) so their
+        # varying-manual-axes match the scan outputs under shard_map's vma
+        # checker; outside shard_map this is the same zeros
+        zero_b = pos * 0
         (pos, _, _, ovf, *_rest), res_t = jax.lax.scan(
-            step, (pos, jnp.zeros(B, jnp.int64), jnp.zeros(B, jnp.int64),
-                   jnp.zeros(B, bool)) + init_limbs + (init_navail, init_wpos),
+            step, (pos, zero_b, zero_b, zero_b != 0) + init_limbs
+            + (init_navail, init_wpos),
             jnp.arange(Tpad, dtype=jnp.int64).reshape(-1, U))
         res = res_t.reshape(Tpad, B).T[:, :T]  # [B, T]
 
@@ -371,7 +375,9 @@ def build_frame_decoder(geom: DecoderGeometry):
         B = res.shape[0]
         RU = 4
         Tpad = -(-T // RU) * RU
-        hist0 = jnp.zeros((B, maxord), jnp.int64)
+        # derive from `order` so the carry's varying manual axes match the
+        # scan outputs under shard_map (same trick as the residual scan)
+        hist0 = jnp.zeros((B, maxord), jnp.int64) + (order * 0)[:, None]
         jgrid = jnp.arange(maxord)
         cm = jnp.where(jgrid[None, :] < order[:, None], coeffs, 0)
         w_full = jnp.concatenate(

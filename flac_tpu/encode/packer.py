@@ -397,10 +397,17 @@ def _pack_words_pallas(c0: jnp.ndarray, c1: jnp.ndarray, we: jnp.ndarray,
         out_specs=pl.BlockSpec((_PACK_ROWS, _PACK_TILE),
                                lambda g, t, c, lo, hi: (g, t)),
     )
+    # propagate the inputs' varying manual axes so shard_map's vma checker
+    # accepts the kernel output (unvarying out_shape under a sharded body
+    # is what used to force check_vma=False in parallel/sharding.py)
+    try:
+        vma = jax.typeof(we).vma
+    except AttributeError:
+        vma = None
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Bp, Wp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Bp, Wp), jnp.int32, vma=vma),
         interpret=interpret,
     )
     args = (lo_g.astype(jnp.int32), hi_g.astype(jnp.int32),

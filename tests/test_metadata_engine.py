@@ -199,3 +199,119 @@ class TestOracleInterop:
         assert r.returncode == 0, r.stderr[-300:]
         assert get_tags(path).find_entry("GENRE") == "Test"
         _assert_audio_intact(path)
+
+
+class TestSimpleIteratorInPlace:
+    """The level-1 iterator must edit the smallest possible byte range:
+    equal-size set_block and padding-absorbed edits leave every other byte
+    of the file untouched (no whole-file rewrite), matching the reference's
+    in-place block walking (metadata_iterators.c:673+)."""
+
+    def _inode_and_bytes(self, path):
+        return os.stat(path).st_ino, open(path, "rb").read()
+
+    def test_set_block_equal_len_in_place(self, tmp_path):
+        vc = VorbisComment(vendor_string="x", comments=["TITLE=aaaa"])
+        path = _make_file(tmp_path, metadata=[vc])
+        ino0, before = self._inode_and_bytes(path)
+        it = SimpleIterator(path)
+        while not isinstance(it.get_block(), VorbisComment):
+            assert it.next()
+        off = it.get_block_offset()
+        span = 4 + it.get_block_length()
+        it.set_block(VorbisComment(vendor_string="x", comments=["TITLE=bbbb"]))
+        ino1, after = self._inode_and_bytes(path)
+        assert ino1 == ino0  # same inode: no tempfile rewrite happened
+        assert len(after) == len(before)
+        assert after[:off] == before[:off]
+        assert after[off + span:] == before[off + span:]
+        assert get_tags(path).find_entry("TITLE") == "bbbb"
+        _assert_audio_intact(path)
+
+    def test_set_block_shrink_emits_padding(self, tmp_path):
+        vc = VorbisComment(vendor_string="x", comments=["TITLE=" + "y" * 64])
+        path = _make_file(tmp_path, metadata=[vc])
+        ino0, before = self._inode_and_bytes(path)
+        it = SimpleIterator(path)
+        while not isinstance(it.get_block(), VorbisComment):
+            assert it.next()
+        it.set_block(VorbisComment(vendor_string="x", comments=["TITLE=z"]))
+        ino1, after = self._inode_and_bytes(path)
+        assert ino1 == ino0 and len(after) == len(before)
+        types = [b.type_code for b in MetadataChain.read(path).blocks]
+        assert 1 in types  # the freed bytes became a PADDING block
+        assert get_tags(path).find_entry("TITLE") == "z"
+        _assert_audio_intact(path)
+
+    def test_set_block_grow_absorbs_next_padding(self, tmp_path):
+        vc = VorbisComment(vendor_string="x", comments=["TITLE=a"])
+        path = _make_file(tmp_path, metadata=[vc, Padding(length=256)])
+        ino0, before = self._inode_and_bytes(path)
+        it = SimpleIterator(path)
+        while not isinstance(it.get_block(), VorbisComment):
+            assert it.next()
+        it.set_block(VorbisComment(vendor_string="x",
+                                   comments=["TITLE=" + "w" * 100]))
+        ino1, after = self._inode_and_bytes(path)
+        assert ino1 == ino0 and len(after) == len(before)
+        assert get_tags(path).find_entry("TITLE") == "w" * 100
+        _assert_audio_intact(path)
+
+    def test_insert_consumes_padding_in_place(self, tmp_path):
+        path = _make_file(tmp_path, metadata=[Padding(length=256)])
+        ino0, before = self._inode_and_bytes(path)
+        it = SimpleIterator(path)
+        # position on the block right before the PADDING block
+        while it._read_header(it.get_block_offset() + 4
+                              + it.get_block_length())[1] != 1:
+            assert it.next()
+        it.insert_block_after(Application(app_id=b"abcd", data=b"pp"))
+        assert it.get_block_type() == 2
+        ino1, after = self._inode_and_bytes(path)
+        assert ino1 == ino0 and len(after) == len(before)
+        _assert_audio_intact(path)
+
+    def test_delete_with_padding_zeroes_in_place(self, tmp_path):
+        vc = VorbisComment(vendor_string="x", comments=["TITLE=gone"])
+        path = _make_file(tmp_path, metadata=[vc])
+        ino0, before = self._inode_and_bytes(path)
+        it = SimpleIterator(path)
+        while not isinstance(it.get_block(), VorbisComment):
+            assert it.next()
+        off, span = it.get_block_offset(), 4 + it.get_block_length()
+        it.delete_block(use_padding=True)
+        ino1, after = self._inode_and_bytes(path)
+        assert ino1 == ino0 and len(after) == len(before)
+        assert after[off] & 0x7F == 1  # PADDING header
+        assert all(b == 0 for b in after[off + 4: off + span])  # zeroed body
+        assert get_tags(path) is None
+        _assert_audio_intact(path)
+
+    def test_delete_last_without_padding_promotes_is_last(self, tmp_path):
+        vc = VorbisComment(vendor_string="x", comments=["TITLE=tail"])
+        path = _make_file(tmp_path, metadata=[vc])
+        before = open(path, "rb").read()
+        it = SimpleIterator(path)
+        while not it.is_last():
+            assert it.next()
+        assert isinstance(it.get_block(), VorbisComment)
+        it.delete_block(use_padding=False)
+        after = open(path, "rb").read()
+        assert len(after) < len(before)  # file actually shrank
+        assert it.is_last()  # iterator sits on the new last block
+        chain = MetadataChain.read(path)  # re-parses: is_last flags are valid
+        assert chain.get(VorbisComment) is None
+        _assert_audio_intact(path)
+
+    def test_set_block_grow_without_padding_rewrites(self, tmp_path):
+        vc = VorbisComment(vendor_string="x", comments=["TITLE=a"])
+        path = _make_file(tmp_path, metadata=[vc])
+        it = SimpleIterator(path)
+        while not isinstance(it.get_block(), VorbisComment):
+            assert it.next()
+        big = VorbisComment(vendor_string="x", comments=["TITLE=" + "q" * 5000])
+        it.set_block(big, use_padding=True)
+        assert get_tags(path).find_entry("TITLE") == "q" * 5000
+        # iterator state stays coherent after the rewrite
+        assert it.get_block_length() == len(big.body_bytes())
+        _assert_audio_intact(path)

@@ -145,8 +145,10 @@ def make_signal(n: int, channels: int, bps: int, seed: int = 0, kind: str = "sin
 
 # -- xdist crash retry --------------------------------------------------------
 # XLA:CPU's compiler segfaults flakily after many large compilations in one
-# process (a different test each run). When a worker dies, reschedule its
-# test once on a fresh worker instead of reporting a phantom failure.
+# process (a different test each run; minimal-repro attempts are logged in
+# docs/flaky.md). When a worker dies, reschedule its test once on a fresh
+# worker instead of reporting a phantom failure — loudly, so a crash can
+# never silently reduce coverage.
 _crash_retried: set = set()
 
 
@@ -158,3 +160,22 @@ def pytest_handlecrashitem(crashitem, report, sched):
         except NotImplementedError:
             return  # scheduler can't reschedule: keep the failure report
         report.outcome = "rerun"
+        sys.stderr.write(
+            f"\n[conftest] xdist worker CRASHED on {crashitem}; "
+            f"rescheduled once on a fresh worker "
+            f"(crash-rerun #{len(_crash_retried)} this session)\n")
+    else:
+        sys.stderr.write(
+            f"\n[conftest] xdist worker crashed AGAIN on {crashitem}; "
+            f"reporting the failure (no second rerun)\n")
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    if _crash_retried:
+        terminalreporter.write_sep(
+            "=", f"xdist crash-reruns: {len(_crash_retried)}", yellow=True)
+        for item in sorted(_crash_retried):
+            terminalreporter.write_line(f"  crashed+rescheduled: {item}")
+        terminalreporter.write_line(
+            "  (XLA:CPU flaky compile crash — see docs/flaky.md; a rerun "
+            "pass rescheduled each exactly once)")

@@ -177,8 +177,47 @@ def bench_decode(data: bytes, max_lpc_order: int, batch: int, reps: int,
     return nfr * T * 2 / best / 1e6
 
 
+def _tpu_reachable(timeout_s: float = 300.0) -> bool:
+    """Probe TPU backend init in a SUBPROCESS with a timeout.
+
+    The axon TPU plugin's backend init goes through a network tunnel and
+    hangs indefinitely (not errors) when the tunnel is down; jax.devices()
+    in this process would then hang the whole bench. A subprocess probe
+    turns "tunnel down" into a falsy answer so the bench can fall back to
+    CPU with an explanatory note instead of producing no artifact at all.
+    """
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return r.returncode == 0 and r.stdout.strip() == "tpu"
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    import os
+
+    tpu_down = False
+    if os.environ.get("FLAC_TPU_DEVICE") != "cpu" and not _tpu_reachable():
+        # tunnel down: deregister the not-yet-initialized TPU plugin (its
+        # in-process init would hang, not fail) and run the bench on CPU
+        tpu_down = True
+        try:
+            from jax._src import xla_bridge as _xb
+            if "axon" in getattr(_xb, "_backend_factories", {}) and not _xb._backends:
+                _xb._backend_factories.pop("axon")
+        except Exception:
+            pass
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     import jax
+
+    if tpu_down:
+        jax.config.update("jax_platforms", "cpu")
 
     # persistent compile cache: the heavy (batch, blocksize) variants compile
     # once per machine, not once per bench invocation (machine-keyed — see
@@ -186,7 +225,6 @@ def main() -> None:
     from flac_tpu.jaxcache import enable as _enable_jax_cache
     _enable_jax_cache()
 
-    import os
     if os.environ.get("FLAC_TPU_DEVICE") == "cpu":
         # local smoke-testing: the axon TPU plugin ignores JAX_PLATFORMS,
         # so pin the default device explicitly
@@ -214,6 +252,13 @@ def main() -> None:
     dec8 = bench_decode(stream8, 12, dec_batch8, reps, fetch=False, expect=expect8)
     dec5_delivered = bench_decode(stream5, 8, dec_batch, reps, fetch=True)
 
+    extra_env = {}
+    if tpu_down:
+        extra_env["environment"] = (
+            "TPU tunnel unreachable at bench time (backend-init probe timed "
+            "out); numbers below are a 1-core CPU FALLBACK, not the chip. "
+            "TPU-measured numbers are recorded in docs/perf.md.")
+
     print(json.dumps({
         "metric": "encode_-5_stereo16_44k1_throughput_per_chip",
         "value": round(enc5, 3),
@@ -237,6 +282,7 @@ def main() -> None:
                                      "note": "-8 rows reuse the -5 baselines "
                                              "(no -8 row on the reference's "
                                              "benchmark page)"},
+            **extra_env,
         },
     }))
 

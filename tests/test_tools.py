@@ -69,12 +69,19 @@ class TestKeepForeignMetadata:
         from flac_tpu.metadata import Application, parse_metadata
         blocks, _ = parse_metadata(out.read_bytes(), 4)
         apps = [b for b in blocks if isinstance(b, Application) and b.app_id == b"riff"]
-        assert len(apps) == 2
+        # reference-compatible storage (foreign_metadata.c:186-253): one block
+        # per chunk in file order — RIFF header, LIST, xyz, fmt, data marker
+        assert len(apps) == 5
+        assert apps[0].data[:4] == b"RIFF" and apps[0].data[8:12] == b"WAVE"
+        assert apps[1].data == list_chunk
+        assert apps[2].data == cust
+        assert apps[3].data[:4] == b"fmt "
+        assert apps[4].data[:4] == b"data" and len(apps[4].data) == 8
         back = tmp_path / "g.wav"
         assert flac_main(["--totally-silent", "-d", "-f", "--keep-foreign-metadata",
                           "-o", str(back), str(out)]) == 0
-        data = back.read_bytes()
-        assert list_chunk in data and b"xyz " in data
+        # restore splices the stored chunks back verbatim: byte-identical WAV
+        assert back.read_bytes() == wav
         got = read_wav(str(back))
         np.testing.assert_array_equal(got.samples, sig)
 

@@ -239,6 +239,10 @@ def main() -> None:
 
     enc5, frames5 = bench_encode(5, b5, n5, reps)
     enc8, frames8 = bench_encode(8, b8, n8, reps)
+    # compressed-size ratio vs raw 16-bit PCM, comparable to the reference
+    # benchmark page's "avg ratio" column (53.67% at -5, BASELINE.md)
+    ratio5 = sum(len(b) for b in frames5) / (b5 * n5 * T * 2 * 2)
+    ratio8 = sum(len(b) for b in frames8) / (b8 * n8 * T * 2 * 2)
 
     stream5 = _assemble_stream(frames5, b5 * n5, b5 * n5 * T)
     stream8 = _assemble_stream(frames8, b8 * n8, b8 * n8 * T)
@@ -271,6 +275,11 @@ def main() -> None:
                           "vs_baseline": round(enc8 / BASELINE_ENC, 3)},
             "decode_-8": {"value": round(dec8, 3),
                           "vs_baseline": round(dec8 / BASELINE_DEC, 3)},
+            "compression_ratio": {
+                "-5": round(ratio5, 4), "-8": round(ratio8, 4),
+                "note": "frame bytes / raw 16-bit PCM bytes on the bench "
+                        "corpus; the reference page's corpus-wide -5 ratio "
+                        "is 0.5367 (BASELINE.md)"},
             "decode_-5_delivered": {
                 "value": round(dec5_delivered, 3),
                 "vs_baseline": round(dec5_delivered / BASELINE_DEC, 3),

@@ -41,6 +41,13 @@ class DecoderGeometry:
     sample_rate: int
     max_lpc_order: int = 32  # tightening this speeds up the restore scan
     check_assignment: bool = True
+    # residual-scan implementation: "wide" = 4x int64 limb window (the
+    # validated round-1/2 kernel), "narrow" = 8x int32 limb window with
+    # native-int32 arithmetic (TPU emulates int64 as int32 pairs; the
+    # narrow form trades ~2-3x fewer native VPU ops for slightly tighter
+    # Rice-outlier guards that reroute to the host decoder). "auto" obeys
+    # FLAC_TPU_SCAN=narrow|wide, defaulting to wide until TPU-validated.
+    scan_impl: str = "auto"
 
     @property
     def header_ext_bits(self) -> int:
@@ -108,6 +115,194 @@ def _read_unary(words, pos):
 import functools
 
 
+def _se32(v: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """Sign-extend the low n (<= 31, may be 0) bits of int32 v, per lane."""
+    sh = jnp.where(n > 0, 32 - n, 0).astype(jnp.int32)
+    return jax.lax.shift_right_arithmetic(jax.lax.shift_left(v, sh), sh)
+
+
+def _narrow_residual_scan(words, pos, T, is_coded, is_verb, ebps, order,
+                          plen, pesc, ps):
+    """int32-limb variant of the residual/verbatim window scan.
+
+    Same algorithm as the wide (4x int64 limb) scan in _decode_subframe —
+    U samples per step from a 256-bit carried window, NLOAD word-gather
+    refills per step — but built for the TPU VPU, which has no native
+    int64 (every int64 op lowers to an int32-pair sequence):
+
+    * the window is 8 uint32 limbs; each sample does ONE variable-distance
+      slide (<= 88 bits, a 3-way limb select over funnel shifts) instead
+      of one slide per field, and each field reads through a probe
+      specialized to its statically-known offset range (the partition
+      parameter always sits at offset 0, the escape length at <= 5, the
+      unary run at <= 10, the Rice LSBs at <= 58 — one or two funnels
+      each, no generic window walk);
+    * all values, counters and comparisons are int32 (field widths are
+      <= 31 bits here); only the running bit position stays int64.
+
+    Domain guards (each raises `ovf`, rerouting the frame to the host
+    decoder — the same contract as the wide scan's z >= 48 guard):
+    unary runs z >= 48; Rice fold q * 2^k >= 2^30 (so the folded value
+    fits int32; k tracks the residual bit-width, so bps <= 26 content
+    only trips this on genuine outliers); per-step window
+    over-consumption. Gated to bps <= 26 by _use_narrow_scan so
+    verbatim/escaped widths are <= 31.
+
+    Returns (res [B, T] int32, pos [B] int64, ovf [B] bool).
+    """
+    U = 4
+    NLOAD = 3
+    B = pos.shape[0]
+    n32 = np.int32(words.shape[0])
+    u32 = jnp.uint32
+    c32 = np.uint32(32)
+    c31 = np.uint32(31)
+    Tpad = -(-T // U) * U
+
+    def gw(i):
+        return words[jnp.minimum(i, n32 - 1)].astype(u32)
+
+    def i32(x):
+        return x.astype(jnp.int32)
+
+    ebps32, order32 = i32(ebps), i32(order)
+    plen32, pesc32, ps32 = i32(plen), i32(pesc), i32(ps)
+
+    def funnel(a, b, r_u):
+        """Bits [r, r+32) of the 64-bit a:b, r in [0, 32)."""
+        return jnp.where(r_u > 0, (a << r_u) | (b >> ((c32 - r_u) & c31)), a)
+
+    def clz32(x_u):
+        return i32(jax.lax.clz(x_u))
+
+    # initial fill: 9 word gathers -> 8 MSB-aligned limbs at `pos`
+    wi0 = i32(pos >> 5)
+    off = i32(pos & 31)
+    offu = off.astype(u32)
+    a = [gw(wi0 + j) for j in range(9)]
+    limbs0 = tuple(funnel(a[j], a[j + 1], offu) for j in range(8))
+    navail0 = 256 - off
+    wpos0 = wi0 + 8
+
+    zi = i32(pos * 0)  # zeros deriving from pos (shard_map vma matching)
+    state0 = (pos, zi, zi, zi != 0) + limbs0 + (navail0, wpos0)
+
+    def step(state, ts):
+        pos, k, rawlen, ovf, *rest = state
+        w = list(rest[:8])
+        navail, wpos = rest[8], rest[9]
+        spent = k * 0
+        zero_u = w[0] * np.uint32(0)
+        outs = []
+        for j in range(U):
+            t = ts[j]
+            live = t < T
+            boundary = live & is_coded & (jnp.mod(t, ps32) == 0)
+            # partition parameter: always at window offset 0
+            nb = jnp.where(boundary, plen32, 0)
+            pv = jnp.where(nb > 0,
+                           i32(w[0] >> ((c32 - nb.astype(u32)) & c31)), 0)
+            k = jnp.where(boundary, pv, k)
+            o = nb
+            # escape: 5-bit raw bit-length at offset <= 5
+            isesc_b = boundary & (k == pesc32)
+            nb2 = jnp.where(isesc_b, 5, 0)
+            top_o = funnel(w[0], w[1], o.astype(u32))
+            rl = jnp.where(nb2 > 0, i32(top_o >> np.uint32(27)), 0)
+            rawlen = jnp.where(isesc_b, rl, rawlen)
+            o = o + nb2
+            esc = k == pesc32
+
+            in_res = live & is_coded & (t >= order32)
+            rice_on = in_res & ~esc
+            # unary run: clz over the 64 bits at offset o (o <= 10)
+            ou = o.astype(u32)
+            u1 = funnel(w[0], w[1], ou)
+            u2 = funnel(w[1], w[2], ou)
+            z = jnp.where(u1 != 0, clz32(u1), 32 + clz32(u2))
+            z = jnp.where((u1 == 0) & (u2 == 0), 64, z)
+            ovf = ovf | (rice_on & (z >= 48))
+            q = jnp.where(rice_on, jnp.minimum(z, 47), 0)
+            o = o + jnp.where(rice_on, q + 1, 0)
+            # int32 fold guard: q * 2^k must stay below 2^30
+            kk = jnp.minimum(jnp.maximum(k, 0), 31)
+            ovf = ovf | (rice_on & (q > ((1 << jnp.maximum(30 - kk, 0)) - 1)))
+            # Rice LSBs: kk bits at offset o (o <= 58 -> limb 0 or 1)
+            nbk = jnp.where(rice_on, kk, 0)
+            r_u = (o & 31).astype(u32)
+            s0 = funnel(w[0], w[1], r_u)
+            s1 = funnel(w[1], w[2], r_u)
+            top_k = jnp.where(o >= 32, s1, s0)
+            lsb = jnp.where(nbk > 0,
+                            i32(top_k >> ((c32 - nbk.astype(u32)) & c31)), 0)
+            o = o + nbk
+            folded = (q << kk) | lsb
+            rice_val = (folded >> 1) ^ -(folded & 1)
+            # escaped raw bits: rawlen (<= 31) bits at offset <= 10
+            nbr = jnp.where(in_res & esc, rawlen, 0)
+            top_r = funnel(w[0], w[1], (o & 31).astype(u32))
+            rvu = jnp.where(nbr > 0,
+                            top_r >> ((c32 - nbr.astype(u32)) & c31), zero_u)
+            raw_val = _se32(i32(rvu), nbr)
+            o = o + nbr
+            # verbatim: ebps bits at offset 0 (no boundary on verbatim)
+            nbv = jnp.where(live & is_verb, ebps32, 0)
+            vv = jnp.where(nbv > 0,
+                           w[0] >> ((c32 - nbv.astype(u32)) & c31), zero_u)
+            verb_val = _se32(i32(vv), nbv)
+            o = o + nbv
+            outs.append(jnp.where(rice_on, rice_val,
+                        jnp.where(in_res & esc, raw_val,
+                        jnp.where(live & is_verb, verb_val, 0))))
+            # one window slide by o (<= 88 bits): 3-way limb select
+            r_s = (o & 31).astype(u32)
+            ext = w + [zero_u, zero_u, zero_u]
+            s = [funnel(ext[m], ext[m + 1], r_s) for m in range(10)]
+            jsel = o >> 5
+            w = [jnp.where(jsel == 0, s[i],
+                 jnp.where(jsel == 1, s[i + 1], s[i + 2])) for i in range(8)]
+            spent = spent + o
+        # all consumed bits must have been inside the valid window
+        ovf = ovf | (spent > navail)
+        navail = jnp.maximum(navail - spent, 0)
+        # refill: insert up to NLOAD words at bit offset `navail`
+        for _ in range(NLOAD):
+            can = navail <= 256 - 32
+            wv = gw(wpos)
+            jw = navail >> 5
+            rw = (navail & 31).astype(u32)
+            p0 = wv >> rw
+            p1 = jnp.where(rw > 0, wv << ((c32 - rw) & c31), zero_u)
+            for i in range(8):
+                w[i] = w[i] | jnp.where(can & (jw == i), p0, zero_u) \
+                    | jnp.where(can & (jw + 1 == i), p1, zero_u)
+            navail = navail + jnp.where(can, 32, 0)
+            wpos = wpos + jnp.where(can, 1, 0)
+        return (pos + spent.astype(pos.dtype), k, rawlen, ovf, *w,
+                navail, wpos), jnp.stack(outs)
+
+    ts_all = jnp.arange(Tpad, dtype=jnp.int32).reshape(-1, U)
+    (pos, _, _, ovf, *_r), res_t = jax.lax.scan(step, state0, ts_all)
+    res = res_t.reshape(Tpad, B).T[:, :T]
+    return res, pos, ovf
+
+
+def _use_narrow_scan(geom: DecoderGeometry) -> bool:
+    """Whether the int32-limb residual scan applies (see DecoderGeometry).
+
+    Gated at bps <= 26 so verbatim/escaped field widths stay <= 31 bits and
+    the dynamic Rice guard (q*2^k < 2^30) reroutes only genuine outliers."""
+    if geom.bits_per_sample > 26:
+        return False
+    if geom.scan_impl == "narrow":
+        return True
+    if geom.scan_impl == "wide":
+        return False
+    import os
+
+    return os.environ.get("FLAC_TPU_SCAN") == "narrow"
+
+
 @functools.lru_cache(maxsize=64)
 def build_frame_decoder(geom: DecoderGeometry):
     """Returns a jitted fn: (words [W] int32, start_bits [B] int64) ->
@@ -120,6 +315,7 @@ def build_frame_decoder(geom: DecoderGeometry):
     bps = geom.bits_per_sample
     maxord = geom.max_lpc_order
     ext_bits = geom.header_ext_bits
+    narrow = _use_narrow_scan(geom)
     fixed_coeffs = jnp.asarray(_FIXED_COEFFS)
 
     def decode(words: jnp.ndarray, start_bits: jnp.ndarray):
@@ -238,7 +434,32 @@ def build_frame_decoder(geom: DecoderGeometry):
         pesc = jnp.where(method == 1, 31, 15).astype(jnp.int64)
         ps = jnp.where(is_coded, T >> po, T).astype(jnp.int64)
 
+        def _finish_subframe(res, pos, ovf):
+            # ---- reconstruct -------------------------------------------------
+            # unified restore: fixed orders use binomial coeffs with shift 0
+            coeffs = jnp.where(is_lpc[:, None], qlp,
+                               jnp.zeros((B, maxord), jnp.int64))
+            if maxord >= 4:
+                fixed_c = fixed_coeffs[jnp.clip(order, 0, 4)].astype(jnp.int64)
+                coeffs = jnp.where(is_fixed[:, None],
+                                   jnp.pad(fixed_c, ((0, 0), (0, maxord - 4))),
+                                   coeffs)
+            rshift = jnp.where(is_lpc, jnp.maximum(shift, 0), 0)
+            x = _restore_scan(res, coeffs, order, rshift, warm, is_coded)
+            x = jnp.where(is_const[:, None], cval[:, None], x)
+            x = jnp.where(is_verb[:, None], res, x)
+            x = x << wasted[:, None]
+            return x, pos, wasted.astype(jnp.int32), \
+                jnp.where(is_const, 0,
+                          jnp.where(is_verb, 1,
+                                    jnp.where(is_fixed, 2, 3))).astype(jnp.int32), \
+                order.astype(jnp.int32), ovf
+
         # ---- residual / verbatim scan over sample positions ----------------
+        if narrow:
+            res, pos, ovf = _narrow_residual_scan(
+                words, pos, T, is_coded, is_verb, ebps, order, plen, pesc, ps)
+            return _finish_subframe(res, pos, ovf)
         # U samples per scan step, fed from a 256-bit MSB-aligned window
         # CARRIED ACROSS STEPS: each step consumes bits with pure
         # elementwise funnel shifts and refills with at most NLOAD word
@@ -350,23 +571,7 @@ def build_frame_decoder(geom: DecoderGeometry):
             + (init_navail, init_wpos),
             jnp.arange(Tpad, dtype=jnp.int64).reshape(-1, U))
         res = res_t.reshape(Tpad, B).T[:, :T]  # [B, T]
-
-        # ---- reconstruct ----------------------------------------------------
-        # unified restore: fixed orders use binomial coefficients with shift 0
-        coeffs = jnp.where(is_lpc[:, None], qlp,
-                           jnp.zeros((B, maxord), jnp.int64))
-        if maxord >= 4:
-            fixed_c = fixed_coeffs[jnp.clip(order, 0, 4)].astype(jnp.int64)  # [B,4]
-            coeffs = jnp.where(is_fixed[:, None],
-                               jnp.pad(fixed_c, ((0, 0), (0, maxord - 4))), coeffs)
-        rshift = jnp.where(is_lpc, jnp.maximum(shift, 0), 0)
-        x = _restore_scan(res, coeffs, order, rshift, warm, is_coded)
-        x = jnp.where(is_const[:, None], cval[:, None], x)
-        x = jnp.where(is_verb[:, None], res, x)
-        x = x << wasted[:, None]
-        return x, pos, wasted.astype(jnp.int32), \
-            jnp.where(is_const, 0, jnp.where(is_verb, 1, jnp.where(is_fixed, 2, 3))).astype(jnp.int32), \
-            order.astype(jnp.int32), ovf
+        return _finish_subframe(res, pos, ovf)
 
     def _restore_scan(res, coeffs, order, shift, warm, is_coded):
         """Batched IIR restore; 4 samples per scan step (sequential within

@@ -61,6 +61,94 @@ class TestDeviceDecode:
             decode_bytes_device(bytes(data), batch_frames=8, max_lpc_order=12)
 
 
+class TestNarrowScan:
+    """The int32-limb residual scan (frame_decoder._narrow_residual_scan)
+    must match the wide scan bit-for-bit on its domain, and flag-and-reroute
+    (ovf) outside it — never produce wrong samples."""
+
+    def _decode_both(self, data, bps, maxord=12):
+        import jax.numpy as jnp
+
+        from flac_tpu.decode.frame_decoder import (DecoderGeometry,
+                                                   build_frame_decoder,
+                                                   bytes_to_words)
+        d = np.frombuffer(data, np.uint8)
+        blocks, ao = parse_metadata(data)
+        offs = index_frames(d, ao, blocks[0])
+        words = jnp.asarray(bytes_to_words(d))
+        starts = jnp.asarray(offs * 8)
+        outs = []
+        for impl in ("wide", "narrow"):
+            g = DecoderGeometry(blocksize=blocks[0].min_blocksize, channels=2,
+                                bits_per_sample=bps, sample_rate=44100,
+                                max_lpc_order=maxord, scan_impl=impl)
+            pcm, ends, meta = build_frame_decoder(g)(words, starts)
+            outs.append((np.asarray(pcm), np.asarray(ends),
+                         np.asarray(meta["unary_overflow"])))
+        return outs
+
+    def test_matches_wide_16bit(self, tmp_path):
+        # one geometry pair, several signal kinds through it (compile economy)
+        for kind, level in [("quiet", 5), ("noise", 5), ("wasted", 5),
+                            ("sine", 5)]:
+            sig = make_signal(1024 * 8, 2, 16, kind=kind, seed=13)
+            data = _encode(tmp_path, sig, 16, level, blocksize=1024)
+            (pw, ew, ow), (pn, en, on) = self._decode_both(data, 16)
+            assert not ow.any() and not on.any(), kind
+            np.testing.assert_array_equal(pw, pn)
+            np.testing.assert_array_equal(ew, en)
+            np.testing.assert_array_equal(
+                pn.reshape(-1, 2).astype(np.int32), sig)
+
+    def test_matches_wide_24bit_rice2(self, tmp_path):
+        # 24-bit noise drives RICE2 (method 1) with k ~ 20-22
+        sig = make_signal(1024 * 4, 2, 24, kind="noise", seed=14)
+        data = _encode(tmp_path, sig, 24, 8, blocksize=1024)
+        (pw, ew, ow), (pn, en, on) = self._decode_both(data, 24)
+        assert not ow.any() and not on.any()
+        np.testing.assert_array_equal(pw, pn)
+        np.testing.assert_array_equal(ew, en)
+
+    @staticmethod
+    def _scan_bits(bits: str, T: int):
+        import jax.numpy as jnp
+
+        from flac_tpu.decode.frame_decoder import _narrow_residual_scan
+        bits += "0" * ((-len(bits)) % 32)
+        words = np.array([int(bits[i:i + 32], 2) for i in range(0, len(bits), 32)],
+                         dtype=np.uint64).astype(np.uint32).view(np.int32)
+        words = np.concatenate([words, np.zeros(16, np.int32)])
+        B = 1
+        mk = lambda v: jnp.full((B,), v, jnp.int64)
+        tr = jnp.full((B,), True)
+        fl = jnp.full((B,), False)
+        res, pos, ovf = _narrow_residual_scan(
+            jnp.asarray(words), mk(0), T, tr, fl,
+            mk(16), mk(0), mk(5), mk(31), mk(T))
+        return (np.asarray(res)[0], int(np.asarray(pos)[0]),
+                bool(np.asarray(ovf)[0]))
+
+    def test_fold_guard(self):
+        """A legal RICE2 k=26 partition: q*2^k >= 2^30 must raise ovf
+        (host reroute), never emit a wrong sample; q within the guard must
+        decode exactly."""
+        T = 8
+        k26 = format(26, "05b")
+        tail = ("1" + "0" * 26) * (T - 1)     # q=0, lsb=0 codewords
+        # outlier: q=47 (passes the z>=48 unary guard, 47*2^26 >= 2^30)
+        lsb = format(0x155AA55 & ((1 << 26) - 1), "026b")
+        _, _, ovf = self._scan_bits(k26 + "0" * 47 + "1" + lsb + tail, T)
+        assert ovf
+        # in-domain: q=15 == 2^(30-26)-1, folded fits int32 -> exact decode
+        res, pos, ovf = self._scan_bits(
+            k26 + "0" * 15 + "1" + format(123, "026b") + tail, T)
+        assert not ovf
+        folded = (15 << 26) | 123
+        assert res[0] == ((folded >> 1) ^ -(folded & 1))
+        assert (res[1:] == 0).all()
+        assert pos == 5 + (15 + 1 + 26) + (T - 1) * 27
+
+
 class TestIndexer:
     def test_index_matches_frame_count(self, tmp_path):
         sig = make_signal(4096 * 5 + 100, 1, 16)

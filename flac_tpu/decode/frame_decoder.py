@@ -291,7 +291,12 @@ def _use_narrow_scan(geom: DecoderGeometry) -> bool:
     """Whether the int32-limb residual scan applies (see DecoderGeometry).
 
     Gated at bps <= 26 so verbatim/escaped field widths stay <= 31 bits and
-    the dynamic Rice guard (q*2^k < 2^30) reroutes only genuine outliers."""
+    the dynamic Rice guard (q*2^k < 2^30) reroutes only genuine outliers.
+
+    "auto" resolves to narrow on CPU (measured 2.5x on the full decode:
+    83 -> 33 ms/batch, from the one-slide-per-sample structure alone) and
+    to wide on TPU until the narrow kernel is measured on the chip; the
+    FLAC_TPU_SCAN env var overrides both."""
     if geom.bits_per_sample > 26:
         return False
     if geom.scan_impl == "narrow":
@@ -300,7 +305,17 @@ def _use_narrow_scan(geom: DecoderGeometry) -> bool:
         return False
     import os
 
-    return os.environ.get("FLAC_TPU_SCAN") == "narrow"
+    forced = os.environ.get("FLAC_TPU_SCAN")
+    if forced in ("narrow", "wide"):
+        return forced == "narrow"
+    try:
+        import jax as _jax
+
+        dd = _jax.config.jax_default_device
+        platform = getattr(dd, "platform", None) or _jax.default_backend()
+    except Exception:  # pragma: no cover
+        return False
+    return platform == "cpu"
 
 
 @functools.lru_cache(maxsize=64)

@@ -20,6 +20,8 @@ import numpy as np
 
 def main() -> None:
     level = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
     import jax.numpy as jnp
 
@@ -63,9 +65,18 @@ def main() -> None:
               f"{nsamples / best / 1e6:8.1f} Msamples/s")
         return best
 
-    # 1. full decode
-    dec = build_frame_decoder(geom)
-    timeit("full decode", dec, jwords, starts)
+    # 1. full decode, wide vs narrow residual scan
+    import dataclasses
+
+    dec = build_frame_decoder(dataclasses.replace(geom, scan_impl="wide"))
+    pcm_w, _, _ = dec(jwords, starts)
+    timeit("full decode (wide scan)", dec, jwords, starts)
+    dec_n = build_frame_decoder(dataclasses.replace(geom, scan_impl="narrow"))
+    pcm_n, _, meta_n = dec_n(jwords, starts)
+    assert np.array_equal(np.asarray(pcm_w), np.asarray(pcm_n)), \
+        "narrow scan output != wide scan output"
+    assert not np.asarray(meta_n["unary_overflow"]).any()
+    timeit("full decode (narrow scan)", dec_n, jwords, starts)
 
     # 2/3/4: rebuild the decoder's internals piecewise (mirrors
     # frame_decoder.py's scan structures on the same data)

@@ -160,7 +160,33 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--mode", choices=["encode", "decode", "seek", "all"],
                     default="all")
+    ap.add_argument("--per-proc", type=int, default=15,
+                    help="cases per worker process: every random config "
+                         "compiles fresh XLA:CPU executables, and a "
+                         "long-lived process eventually exhausts memory "
+                         "(docs/flaky.md) — chunking sidesteps that")
     args = ap.parse_args()
+
+    if args.cases > args.per_proc:
+        # parent: run chunks in fresh subprocesses, distinct seeds
+        total_fail = 0
+        done = 0
+        while done < args.cases:
+            n = min(args.per_proc, args.cases - done)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--cases", str(n), "--seed", str(args.seed + done),
+                 "--mode", args.mode, "--per-proc", str(args.per_proc)])
+            if r.returncode == 1:
+                total_fail += 1
+            elif r.returncode not in (0, 1):
+                print(f"worker crashed (rc={r.returncode}) after case "
+                      f"{done}; continuing with a fresh process")
+            done += n
+            print(f"== {done}/{args.cases} dispatched ==", flush=True)
+        print(f"campaign total: {args.cases} cases, "
+              f"{total_fail} failing chunk(s)")
+        return 1 if total_fail else 0
 
     _pin_cpu()
     oracle = Path(os.environ.get("ORACLE_DIR", "/tmp/flacoracle")) / "flac"

@@ -214,6 +214,8 @@ class SeekableDecoder:
             pcm = np.asarray(pcm)[:nb].astype(np.int32, copy=False)
             ends_np = np.asarray(ends)[:nb] // 8
             ovf = np.asarray(meta["unary_overflow"])[:nb]
+            if ovf.any() and not pcm.flags.writeable:
+                pcm = pcm.copy()  # device view is read-only for bps > 16
             for j in np.flatnonzero(ovf):  # pathological frames -> host
                 fpcm, fi = self._host.decode_frame_at(int(bo[j]))
                 pcm[j] = fpcm.reshape(pcm[j].shape)

@@ -189,7 +189,12 @@ class StreamDecoder:
             ovf = np.asarray(meta["unary_overflow"])[:nb]
             if ovf.any():
                 # unary runs beyond the decoder's bit window (pathological
-                # but legal streams): those frames re-decode on the host
+                # but legal streams): those frames re-decode on the host.
+                # np.asarray on a device array is a read-only view (and
+                # astype(copy=False) preserves that when dtype is already
+                # int32, i.e. for bps > 16) — copy before writing into it
+                if not pcm.flags.writeable:
+                    pcm = pcm.copy()
                 if host is None:
                     host = hd.HostDecoder(self.data_bytes, check_md5=False)
                 for i in np.flatnonzero(ovf):
@@ -263,24 +268,29 @@ class StreamDecoder:
         return pcm, dict(frames=frames, path="device", errors=self.errors)
 
     def _check_crc16(self, offsets: np.ndarray, ends: np.ndarray) -> np.ndarray:
-        """CRC-16 validation of every frame (stream_decoder.c:2061).
-        Returns the indices of mismatching frames."""
-        lengths = ends - offsets
-        stored = (self.d[np.minimum(offsets + lengths - 2, len(self.d) - 1)].astype(np.uint16) << 8) \
-            | self.d[np.minimum(offsets + lengths - 1, len(self.d) - 1)]
-        try:
-            from flac_tpu._native import crc16 as native_crc16
-            crcs = np.fromiter(
-                (native_crc16(self.data_bytes[int(o):int(o + n - 2)])
-                 for o, n in zip(offsets, lengths)),
-                np.uint16, count=len(offsets))
-        except Exception:
-            # pure-Python fallback: columnwise batch over a padded matrix
-            maxlen = int(lengths.max())
-            idx = np.minimum(offsets[:, None] + np.arange(maxlen)[None, :],
-                             len(self.d) - 1)
-            crcs = crc_mod.crc16_batch(self.d[idx], lengths - 2)
-        return np.flatnonzero(crcs != stored)
+        return check_frame_crc16(self.data_bytes, self.d, offsets, ends)
+
+
+def check_frame_crc16(data_bytes: bytes, d: np.ndarray, offsets: np.ndarray,
+                      ends: np.ndarray) -> np.ndarray:
+    """CRC-16 validation of every frame (stream_decoder.c:2061).
+    Returns the indices of mismatching frames."""
+    lengths = ends - offsets
+    stored = (d[np.minimum(offsets + lengths - 2, len(d) - 1)].astype(np.uint16) << 8) \
+        | d[np.minimum(offsets + lengths - 1, len(d) - 1)]
+    try:
+        from flac_tpu._native import crc16 as native_crc16
+        crcs = np.fromiter(
+            (native_crc16(data_bytes[int(o):int(o + n - 2)])
+             for o, n in zip(offsets, lengths)),
+            np.uint16, count=len(offsets))
+    except Exception:
+        # pure-Python fallback: columnwise batch over a padded matrix
+        maxlen = int(lengths.max())
+        idx = np.minimum(offsets[:, None] + np.arange(maxlen)[None, :],
+                         len(d) - 1)
+        crcs = crc_mod.crc16_batch(d[idx], lengths - 2)
+    return np.flatnonzero(crcs != stored)
 
 
 def decode_bytes_device(data: bytes, check_md5: bool = True, batch_frames: int = 64,

@@ -255,10 +255,12 @@ def encode_corpus_sharded(pcm, cfg: EncoderConfig, mesh: Mesh | None = None,
 
 def build_sharded_decode_step(geom, mesh: Mesh, frames_per_device: int):
     """Frame-sharded decode: `step(words[W], start_bits[B]) -> (pcm[B,T,Ch],
-    end_bits[B])` with the frame axis sharded across every device and the
-    packed word stream replicated (each frame gather-reads its own bit
-    window; decode is embarrassingly frame-parallel, mirroring the encode
-    side's data-parallel design)."""
+    end_bits[B], overflow[B])` with the frame axis sharded across every
+    device and the packed word stream replicated (each frame gather-reads
+    its own bit window; decode is embarrassingly frame-parallel, mirroring
+    the encode side's data-parallel design). `overflow` marks frames whose
+    bitstream left the batched kernel's domain — the caller re-decodes
+    those on the host (same contract as the single-device path)."""
     from flac_tpu.decode.frame_decoder import build_frame_decoder
 
     decode = build_frame_decoder(geom)
@@ -270,14 +272,14 @@ def build_sharded_decode_step(geom, mesh: Mesh, frames_per_device: int):
         # carries mix words-derived values with per-shard cursors, and the
         # varying-axes checker requires consistent vma across scan carries
         words = jax.lax.pcast(words, ("host", "chip"), to="varying")
-        pcm, ends, _meta = decode(words, start_bits)
-        return pcm, ends
+        pcm, ends, meta = decode(words, start_bits)
+        return pcm, ends, meta["unary_overflow"]
 
     spec_b = P(("host", "chip"))
     sharded = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(None), spec_b),
-        out_specs=(P(("host", "chip"), None, None), spec_b),
+        out_specs=(P(("host", "chip"), None, None), spec_b, spec_b),
     )
 
     @jax.jit
@@ -290,3 +292,110 @@ def build_sharded_decode_step(geom, mesh: Mesh, frames_per_device: int):
         return sharded(words, start_bits)
 
     return step
+
+
+def decode_corpus_sharded(data: bytes, mesh: Mesh | None = None,
+                          frames_per_device: int = 16,
+                          max_lpc_order: int = 32,
+                          check_md5: bool = True) -> np.ndarray:
+    """One-call multi-device decode of a whole .flac stream -> PCM.
+
+    The decode mirror of encode_corpus_sharded: the host does only the
+    inherently sequential work (metadata parse, the vectorized frame index,
+    the final partial frame, MD5), and every indexed frame decodes on the
+    mesh in frame-sharded batches. Strict by construction — any CRC-16
+    mismatch, frame-length overrun, or MD5 failure raises (robustness
+    features — concealment, resync, error callbacks — live in
+    decode_bytes_device / HostDecoder, reference stream_decoder.c:2106).
+
+    Frames the batched kernel flags as out-of-domain (pathological-but-
+    legal Rice outliers) re-decode on the host, exactly like the
+    single-device driver.
+    """
+    import jax.numpy as jnp
+
+    from flac_tpu.decode import host_decoder as hd
+    from flac_tpu.decode.frame_decoder import DecoderGeometry, bytes_to_words
+    from flac_tpu.decode.stream import (StreamDecodeError, check_frame_crc16,
+                                        index_frames)
+    from flac_tpu.md5 import MD5Context
+    from flac_tpu.metadata import StreamInfo, parse_metadata
+
+    if mesh is None:
+        mesh = make_mesh()
+    data = bytes(data)
+    d = np.frombuffer(data, np.uint8)
+    pos = hd.skip_id3v2(data, 0)
+    if data[pos:pos + 4] != b"fLaC":
+        raise hd.DecodeError("missing fLaC stream marker")
+    metadata, audio_offset = parse_metadata(data, pos + 4)
+    si = metadata[0]
+    if not isinstance(si, StreamInfo):
+        raise hd.DecodeError("first metadata block is not STREAMINFO")
+    if si.min_blocksize != si.max_blocksize:
+        raise StreamDecodeError(
+            "variable-blocksize stream: use decode_bytes_device")
+    offsets = index_frames(d, audio_offset, si)
+    if offsets is None:
+        raise StreamDecodeError("ambiguous frame index: use decode_bytes_device")
+    geom = DecoderGeometry(blocksize=si.min_blocksize, channels=si.channels,
+                           bits_per_sample=si.bits_per_sample,
+                           sample_rate=si.sample_rate,
+                           max_lpc_order=max_lpc_order)
+    step = build_sharded_decode_step(geom, mesh, frames_per_device)
+    B = frames_per_device * mesh.size
+    jwords = jnp.asarray(bytes_to_words(d, bucket=True))
+    nfr = len(offsets)
+    # queue every batch before fetching any (compute/D2H overlap)
+    queued = []
+    for s in range(0, nfr, B):
+        batch_off = offsets[s:s + B]
+        nb = len(batch_off)
+        if nb < B:
+            batch_off = np.concatenate(
+                [batch_off, np.repeat(batch_off[-1:], B - nb)])
+        queued.append((s, nb, batch_off,
+                       step(jwords, jnp.asarray(batch_off * 8))))
+    host = None
+    pcm_parts = []
+    ends_all = np.zeros(nfr, np.int64)
+    for s, nb, batch_off, (pcm, ends, ovf) in queued:
+        pcm = np.asarray(pcm)[:nb].astype(np.int32, copy=False)
+        ends_np = np.asarray(ends)[:nb] // 8
+        ovf_np = np.asarray(ovf)[:nb]
+        if ovf_np.any() and not pcm.flags.writeable:
+            pcm = pcm.copy()  # device view is read-only for bps > 16
+        for i in np.flatnonzero(ovf_np):
+            if host is None:
+                host = hd.HostDecoder(data, check_md5=False)
+            fpcm, fi = host.decode_frame_at(int(batch_off[i]))
+            pcm[i] = fpcm.reshape(pcm[i].shape)
+            ends_np[i] = fi.offset + fi.size
+        ends_all[s:s + nb] = ends_np
+        pcm_parts.append(pcm.reshape(-1, si.channels))
+    pcm = (np.concatenate(pcm_parts, axis=0) if pcm_parts
+           else np.zeros((0, si.channels), np.int32))
+    if nfr:
+        if np.any(ends_all[:-1] > offsets[1:]) or ends_all[-1] > len(d):
+            raise StreamDecodeError("frame length overrun — corrupt stream?")
+        bad = check_frame_crc16(data, d, offsets, ends_all)
+        if len(bad):
+            raise hd.DecodeError(
+                f"frame CRC-16 mismatch in frame(s) {bad[:5].tolist()}")
+    # the final partial frame (not in the index) decodes on the host
+    tail_start = int(ends_all[-1]) if nfr else audio_offset
+    if tail_start < len(d) - 2:
+        host = hd.HostDecoder(data, check_md5=False)
+        try:
+            tail_pcm, _fi = host.decode_frame_at(tail_start)
+            pcm = np.concatenate([pcm, tail_pcm], axis=0)
+        except (hd.DecodeError, EOFError):
+            pass  # trailing garbage/padding
+    if si.total_samples and len(pcm) > si.total_samples:
+        pcm = pcm[: si.total_samples]
+    if check_md5 and si.md5sum != b"\x00" * 16:
+        md5 = MD5Context()
+        md5.accumulate(pcm, si.bits_per_sample)
+        if md5.digest() != si.md5sum:
+            raise hd.DecodeError("MD5 signature mismatch")
+    return pcm

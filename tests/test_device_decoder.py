@@ -48,6 +48,23 @@ class TestDeviceDecode:
             assert info["path"] == "device"
             np.testing.assert_array_equal(pcm, sig)
 
+    def test_24bit_outlier_reroute_writes_batch(self, tmp_path):
+        """Rice outliers (near-silent partitions with full-scale spikes)
+        overflow the batched kernel's unary/fold guards and reroute those
+        frames to the host, which writes into the device batch. For
+        bps > 16 the device output is int32 and np.asarray gives a
+        READ-ONLY view — regression: 'assignment destination is read-only'
+        (found by tools/fuzz_campaign.py case 4/seed 46)."""
+        rng = np.random.default_rng(3)
+        amp = (1 << 23) - 1
+        x = rng.integers(-3, 4, (4096 * 3, 2)).astype(np.int32)
+        idx = rng.integers(0, len(x), 40)
+        x[idx] = rng.integers(-amp - 1, amp + 1, (40, 2)).astype(np.int32)
+        data = _encode(tmp_path, x, 24, 5)
+        pcm, si, info = decode_bytes_device(data, batch_frames=8,
+                                            max_lpc_order=12)
+        np.testing.assert_array_equal(pcm, x)
+
     def test_verify_mode(self, tmp_path):
         sig = make_signal(4096 * 2 + 5, 2, 16, kind="sine")
         _encode(tmp_path, sig, 16, 5, verify=True)  # raises VerifyError on mismatch

@@ -68,5 +68,24 @@ class TestShardedDecode:
         geom = DecoderGeometry(blocksize=BS, channels=2, bits_per_sample=16,
                                sample_rate=44100, max_lpc_order=32)
         step = build_sharded_decode_step(geom, mesh, B // mesh.size)
-        pcm, ends = step(jnp.asarray(bytes_to_words(data)), jnp.asarray(offs * 8))
+        pcm, ends, ovf = step(jnp.asarray(bytes_to_words(data)),
+                              jnp.asarray(offs * 8))
+        assert not np.asarray(ovf).any()
         np.testing.assert_array_equal(np.asarray(pcm).reshape(-1, 2), sig)
+
+    def test_decode_corpus_sharded(self, mesh, tmp_path):
+        """One-call mesh decode: partial tail frame, MD5 verdict, CRC gate."""
+        from flac_tpu.parallel.sharding import decode_corpus_sharded
+
+        sig = make_signal(BS * 16 + 77, 2, 16, kind="quiet", seed=52)
+        p = tmp_path / "c.flac"
+        encode_file(sig, 44100, 16, str(p), level=5, blocksize=BS)
+        pcm = decode_corpus_sharded(p.read_bytes(), mesh, frames_per_device=2)
+        np.testing.assert_array_equal(pcm, sig)
+        # strictness: a flipped bit in some frame body must raise
+        data = bytearray(p.read_bytes())
+        data[len(data) - 600] ^= 0x10
+        from flac_tpu.decode.host_decoder import DecodeError
+        from flac_tpu.decode.stream import StreamDecodeError
+        with pytest.raises((DecodeError, StreamDecodeError)):
+            decode_corpus_sharded(bytes(data), mesh, frames_per_device=2)

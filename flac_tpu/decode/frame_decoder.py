@@ -48,6 +48,12 @@ class DecoderGeometry:
     # Rice-outlier guards that reroute to the host decoder). "auto" obeys
     # FLAC_TPU_SCAN=narrow|wide, defaulting to wide until TPU-validated.
     scan_impl: str = "auto"
+    # variable-blocksize streams: each frame carries its own blocksize code,
+    # so the header's extension-field width varies per frame. When True the
+    # decode fn takes a third argument, hdr_ext_bits [B] (bits between the
+    # UTF-8 number and the CRC-8), instead of using the static geometry
+    # value (stream_decoder.c:2197-2225 "get from end of header" codes).
+    dynamic_header_ext: bool = False
 
     @property
     def header_ext_bits(self) -> int:
@@ -333,7 +339,8 @@ def build_frame_decoder(geom: DecoderGeometry):
     narrow = _use_narrow_scan(geom)
     fixed_coeffs = jnp.asarray(_FIXED_COEFFS)
 
-    def decode(words: jnp.ndarray, start_bits: jnp.ndarray):
+    def decode(words: jnp.ndarray, start_bits: jnp.ndarray,
+               hdr_ext_bits: jnp.ndarray | None = None):
         pos = start_bits.astype(jnp.int64)
         B = pos.shape[0]
 
@@ -344,7 +351,11 @@ def build_frame_decoder(geom: DecoderGeometry):
         lead, _ = _read_bits(words, pos, 8)
         utf8_len = (1 + (lead >= 0xC0).astype(jnp.int64) + (lead >= 0xE0)
                     + (lead >= 0xF0) + (lead >= 0xF8) + (lead >= 0xFC) + (lead >= 0xFE))
-        pos = pos + 8 * utf8_len + ext_bits + 8  # number + static exts + CRC-8
+        if geom.dynamic_header_ext:
+            ext = jnp.asarray(hdr_ext_bits, jnp.int64)  # per-frame widths
+        else:
+            ext = ext_bits  # static (fixed-blocksize stream geometry)
+        pos = pos + 8 * utf8_len + ext + 8  # number + ext fields + CRC-8
 
         if Ch == 2:
             assignment = jnp.where(ca_code == 8, 1,

@@ -166,6 +166,38 @@ class TestNarrowScan:
         assert pos == 5 + (15 + 1 + 26) + (T - 1) * 27
 
 
+class TestVariableBlocksize:
+    """Foreign variable-blocksize streams (blocking_strategy=1) decode on
+    the device by grouping frames per blocksize; oddball blocksizes and
+    ambiguous indexes fall back to the host (stream_decoder.c:2197-2240)."""
+
+    def test_grouped_device_decode(self):
+        from tests.test_ogg import _make_variable_blocksize_flac
+
+        from flac_tpu.decode.stream import index_frames_variable
+        bss = [64] * 10 + [160] * 8 + [96, 23] + [64] * 5
+        data, _, pcm = _make_variable_blocksize_flac(bss)
+        d = np.frombuffer(data, np.uint8)
+        blocks, ao = parse_metadata(data)
+        idx = index_frames_variable(d, ao, blocks[0])
+        assert idx is not None and len(idx[0]) == len(bss)
+        np.testing.assert_array_equal(idx[1], bss)  # parsed blocksizes
+        out, si, info = decode_bytes_device(data, batch_frames=8)
+        assert info["path"] == "device-variable"
+        np.testing.assert_array_equal(out.reshape(-1), pcm)
+
+    def test_crc_mismatch_raises(self):
+        from tests.test_ogg import _make_variable_blocksize_flac
+        # distinct blocksizes so STREAMINFO min != max (the variable path)
+        data, _, _ = _make_variable_blocksize_flac([64] * 8 + [160] * 8)
+        data = bytearray(data)
+        data[-40] ^= 0x20  # inside the last frame's body
+        from flac_tpu.decode.host_decoder import DecodeError
+        from flac_tpu.decode.stream import StreamDecodeError
+        with pytest.raises((DecodeError, StreamDecodeError)):
+            decode_bytes_device(bytes(data), batch_frames=8)
+
+
 class TestIndexer:
     def test_index_matches_frame_count(self, tmp_path):
         sig = make_signal(4096 * 5 + 100, 1, 16)

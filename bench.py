@@ -124,7 +124,8 @@ def _assemble_stream(frame_bytes, total_frames, nsamples):
 
 
 def bench_decode(data: bytes, max_lpc_order: int, batch: int, reps: int,
-                 fetch: bool, expect: np.ndarray | None = None):
+                 fetch: bool, expect: np.ndarray | None = None,
+                 scan_impl: str = "auto"):
     """Timed: batched device decode of every indexed frame; with fetch=False
     the PCM stays device-resident (kernel number), with fetch=True each
     batch is pulled to the host (delivered number, tunnel-bound here).
@@ -143,7 +144,8 @@ def bench_decode(data: bytes, max_lpc_order: int, batch: int, reps: int,
     blocks, audio_offset = parse_metadata(data)
     si = blocks[0]
     geom = DecoderGeometry(blocksize=T, channels=2, bits_per_sample=16,
-                           sample_rate=44100, max_lpc_order=max_lpc_order)
+                           sample_rate=44100, max_lpc_order=max_lpc_order,
+                           scan_impl=scan_impl)
     dec = build_frame_decoder(geom)
     offsets = index_frames(d, audio_offset, si)
     assert offsets is not None and len(offsets) >= batch
@@ -252,11 +254,48 @@ def main() -> None:
                               for i in range(n5)])[:dec_batch]
     expect8 = np.concatenate([make_corpus(b8 * T, seed=7 + i).reshape(b8, T, 2)
                               for i in range(n8)])[:dec_batch8]
-    dec5 = bench_decode(stream5, 8, dec_batch, reps, fetch=False, expect=expect5)
-    dec8 = bench_decode(stream8, 12, dec_batch8, reps, fetch=False, expect=expect8)
-    dec5_delivered = bench_decode(stream5, 8, dec_batch, reps, fetch=True)
+    # On TPU, race the two residual-scan forms (wide 4x int64 limbs vs
+    # narrow 8x int32 limbs — frame_decoder._use_narrow_scan) and report the
+    # faster one: the narrow form is CPU-validated bit-exact (suite +
+    # fuzz campaigns) but its TPU timing couldn't be captured while the dev
+    # tunnel was down, so the measurement happens wherever the bench runs.
+    # Each candidate is cross-checked against the input PCM before timing;
+    # a failing candidate is dropped, not fatal.
+    scan_notes = {}
+
+    def timed_decode(stream, maxord, batch_, expect):
+        if not on_tpu or os.environ.get("FLAC_TPU_SCAN"):
+            return bench_decode(stream, maxord, batch_, reps, fetch=False,
+                                expect=expect), "auto"
+        cand = {}
+        for impl in ("wide", "narrow"):
+            try:
+                cand[impl] = bench_decode(stream, maxord, batch_, reps,
+                                          fetch=False, expect=expect,
+                                          scan_impl=impl)
+            except Exception as e:  # wrong PCM / overflow reroute / compile
+                cand[impl] = None
+                scan_notes.setdefault("errors", {})[impl] = repr(e)[:200]
+        ok = {k: v for k, v in cand.items() if v is not None}
+        if not ok:  # both failed: surface the wide-form error directly
+            return bench_decode(stream, maxord, batch_, reps, fetch=False,
+                                expect=expect, scan_impl="wide"), "wide"
+        winner = max(ok, key=ok.get)
+        scan_notes[f"lpc{maxord}"] = {**{k: round(v, 3) for k, v in ok.items()},
+                                      "winner": winner}
+        return ok[winner], winner
+
+    dec5, scan5 = timed_decode(stream5, 8, dec_batch, expect5)
+    dec8, _ = timed_decode(stream8, 12, dec_batch8, expect8)
+    dec5_delivered = bench_decode(stream5, 8, dec_batch, reps, fetch=True,
+                                  scan_impl=scan5)
 
     extra_env = {}
+    if scan_notes:
+        extra_env["decode_scan_race"] = {
+            **scan_notes,
+            "note": "Msamples/s per residual-scan form (docs/perf.md); the "
+                    "reported decode rows use each level's winner."}
     if tpu_down:
         extra_env["environment"] = (
             "TPU tunnel unreachable at bench time (backend-init probe timed "

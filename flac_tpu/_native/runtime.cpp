@@ -415,13 +415,19 @@ void flacn_rg_apply(void* vctx, const int32_t* in, size_t wide_samples,
     if (shaping < 0) shaping = 0;
     if (shaping > 3) shaping = 3;
     static const uint8_t default_dither[10] = {92, 92, 88, 84, 81, 78, 74, 67, 0, 0};
-    int di = (int)target_bps - 11 - shaping;
+    // The reference splits the widths: DitherContext is initialized with the
+    // STREAM bps (decode.c:1353 passes decoder_session->bps), so Add/Mask/
+    // Dither quantize at the SOURCE width, while conv/hard_clip come from
+    // the apply call's target_bps (replaygain_synthesis.c:226-228,372-373).
+    // For bps%8 streams (source 20 -> target 24) the dithered output is
+    // therefore a source-width value scaled to the padded byte width.
+    int di = (int)source_bps - 11 - shaping;
     if (di < 0) di = 0;
     if (di > 9) di = 9;
     const double dither_mult =
-        (double)(0.01f * default_dither[di]) / (double)((int64_t)1 << target_bps);
-    const double add = 0.5 * (double)(((int64_t)1 << (32 - target_bps)) - 1);
-    const uint64_t mask = ~(uint64_t)0 << (32 - target_bps);
+        (double)(0.01f * default_dither[di]) / (double)((int64_t)1 << source_bps);
+    const double add = 0.5 * (double)(((int64_t)1 << (32 - source_bps)) - 1);
+    const uint64_t mask = ~(uint64_t)0 << (32 - source_bps);
     const int64_t conv = (int64_t)1 << (32 - target_bps);
     const int64_t hard_clip = -((int64_t)1 << (target_bps - 1));
     const double multi_scale = scale / (double)(1u << (source_bps - 1));

@@ -823,12 +823,12 @@ def decode_one(path: str, o: Options) -> int:
         from flac_tpu.ogg import flac_stream_from_ogg
         data = flac_stream_from_ogg(data)
     pcm, si = _decode_window(o, data)
-    # container output stores bps%8!=0 streams left-justified in the next
-    # whole byte (decode.c:962,1094-1097); the RG path instead converts to
-    # the padded width inside apply_gain (decode.c:1108)
+    # bps%8!=0 layout: the container writers left-justify into the padded
+    # byte width themselves (decode.c:962,1094-1097); raw output stays
+    # right-justified (shift=0, decode.c:962). The RG path converts to the
+    # padded width inside apply_gain (decode.c:1108) — its output buffer is
+    # marked left_justified so writers emit it as-is.
     shift = 0 if o.force_raw else (8 - si.bits_per_sample % 8) % 8
-    if shift and o.apply_rg is None:
-        pcm = pcm << shift
     if o.apply_rg is not None:
         from flac_tpu.replaygain import apply_gain, load_tags
         tags = load_tags(path, album=o.apply_rg["album"]) if path != "-" else None
@@ -846,7 +846,8 @@ def decode_one(path: str, o: Options) -> int:
                          noise_shaping=o.apply_rg["noise_shaping"],
                          chunk=si.max_blocksize)
     buf = AudioBuffer(samples=pcm, sample_rate=si.sample_rate,
-                      bits_per_sample=si.bits_per_sample)
+                      bits_per_sample=si.bits_per_sample,
+                      left_justified=o.apply_rg is not None and shift > 0)
     # WAVEFORMATEXTENSIBLE_CHANNEL_MASK tag restores the source speaker mask
     # (flac__utils_get_channel_mask_tag, decode.c:1359)
     channel_mask = 0

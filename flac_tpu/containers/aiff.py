@@ -132,7 +132,10 @@ def aiff_bytes(buf: AudioBuffer, foreign=None) -> bytes:
     bits = buf.bits_per_sample
     bytes_per = (bits + 7) // 8
     flat = np.ascontiguousarray(buf.samples, dtype=np.int32).reshape(-1)
-    shifted = flat << (bytes_per * 8 - bits) if bits % 8 else flat
+    # bps%8 streams store left-justified (decode.c:1094-1097) unless the
+    # buffer is already at the padded width (ReplayGain path)
+    shift = bytes_per * 8 - bits if (bits % 8 and not buf.left_justified) else 0
+    shifted = flat << shift if shift else flat
     if bytes_per == 1:
         pcm = shifted.astype(np.int8).tobytes()
     elif bytes_per == 2:

@@ -34,6 +34,13 @@ class AudioBuffer:
     # WAVEFORMATEXTENSIBLE channel mask of the source (0 = none/unknown);
     # carried into a WAVEFORMATEXTENSIBLE_CHANNEL_MASK tag by the CLI
     channel_mask: int = 0
+    # Samples are right-justified at bits_per_sample; writers left-justify
+    # bps%8 streams into the padded byte width themselves (the on-disk layout
+    # the reference decoder emits, decode.c:962,1094-1097). The ReplayGain
+    # path instead produces values already at the padded width
+    # (decode.c:1108 passes target_bps=bps+shift to apply_gain) — it sets
+    # this flag so writers skip the shift while headers keep the true bps.
+    left_justified: bool = False
 
     @property
     def nsamples(self) -> int:
@@ -168,6 +175,10 @@ def _wav_pcm_bytes(buf: AudioBuffer) -> bytes:
     bits = buf.bits_per_sample
     bytes_per = (bits + 7) // 8
     flat = np.ascontiguousarray(buf.samples, dtype=np.int32).reshape(-1)
+    if bits % 8 and not buf.left_justified:
+        # bps%8 streams store left-justified in the padded byte width
+        # (reference decode.c:962,1094-1097; oracle-verified byte layout)
+        flat = flat << (bytes_per * 8 - bits)
     if bytes_per == 1:
         return (flat + 128).astype(np.uint8).tobytes()
     if bytes_per == 2:

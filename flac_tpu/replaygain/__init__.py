@@ -304,7 +304,11 @@ def _py_apply(state: _PyDitherState, pcm: np.ndarray, source_bps: int,
         x = np.where(x > 0.5, np.tanh((x - 0.5) / 0.5) * 0.5 + 0.5, x)
         x = np.where(x < -0.5, np.tanh((x + 0.5) / 0.5) * 0.5 - 0.5, x)
     x *= 2147483648.0  # the reference's 2147483647.f float literal == 2^31
-    add = 0.5 * ((1 << (32 - target_bps)) - 1)
+    # add/mask/dither amplitude quantize at the SOURCE width: the reference
+    # initializes its DitherContext with the stream bps (decode.c:1353), while
+    # conv/hard_clip use the apply call's target_bps
+    # (replaygain_synthesis.c:226-228,372-373)
+    add = 0.5 * ((1 << (32 - source_bps)) - 1)
     if not do_dither:
         r = np.round(x + add).astype(np.int64)
         v = np.sign(r) * (np.abs(r) // conv)  # C trunc-toward-zero division
@@ -312,9 +316,9 @@ def _py_apply(state: _PyDitherState, pcm: np.ndarray, source_bps: int,
         return np.clip(v, hard_clip, -(hard_clip + 1)).astype(np.int32)
     shaping = max(0, min(3, shaping))
     dd = [92, 92, 88, 84, 81, 78, 74, 67, 0, 0]
-    di = max(0, min(9, target_bps - 11 - shaping))
-    dmult = float(np.float32(0.01 * dd[di])) / (1 << target_bps)
-    mask = (~0) << (32 - target_bps)
+    di = max(0, min(9, source_bps - 11 - shaping))
+    dmult = float(np.float32(0.01 * dd[di])) / (1 << source_bps)
+    mask = (~0) << (32 - source_bps)
     coeff = _RG_F44[shaping - 1 if shaping else 0]
     out = np.empty_like(pcm)
     last = state.last_history_index

@@ -118,6 +118,44 @@ class TestFlacCLI:
                         "-o", str(aiff), str(out)) == 0
         np.testing.assert_array_equal(read_audio(str(aiff)).samples, sig)
 
+    def test_odd_bps_outputs_match_oracle(self, tmp_path):
+        """20-bit streams: decoded WAV/AIFF/RF64/W64 container bytes are
+        IDENTICAL to the reference binary's (bps%8 samples store
+        left-justified in the padded byte width, decode.c:962,1094-1097),
+        and our 20-bit encode round-trips through the oracle."""
+        oracle = oracle_path()
+        if oracle is None:
+            pytest.skip("oracle unavailable")
+        sig = make_signal(4096 * 2 + 307, 2, 20, kind="quiet", seed=20)
+        src = tmp_path / "in20.wav"
+        write_wav(str(src), AudioBuffer(samples=sig, sample_rate=44100,
+                                        bits_per_sample=20))
+        fl = tmp_path / "o20.flac"
+        r = subprocess.run([str(oracle), "-5", "-f", "-s", "-o", str(fl),
+                            str(src)], capture_output=True)
+        assert r.returncode == 0, r.stderr
+        for flag, ext in [((), "wav"), (("--force-aiff-format",), "aiff"),
+                          (("--force-rf64-format",), "rf64"),
+                          (("--force-wave64-format",), "w64")]:
+            ref = tmp_path / f"ref.{ext}"
+            r = subprocess.run([str(oracle), "-d", "-f", "-s", *flag, "-o",
+                                str(ref), str(fl)], capture_output=True)
+            assert r.returncode == 0, r.stderr
+            ours = tmp_path / f"ours.{ext}"
+            assert run_flac("-d", "-f", *flag, "-o", str(ours), str(fl)) == 0
+            assert ours.read_bytes() == ref.read_bytes(), ext
+        # encode side: our 20-bit encode passes oracle -t and decodes back
+        # to the byte-identical source container
+        ours_fl = tmp_path / "ours20.flac"
+        assert run_flac("-5", "-f", "-o", str(ours_fl), str(src)) == 0
+        r = subprocess.run([str(oracle), "-t", str(ours_fl)], capture_output=True)
+        assert r.returncode == 0, r.stderr
+        back = tmp_path / "back20.wav"
+        r = subprocess.run([str(oracle), "-d", "-f", "-s", "-o", str(back),
+                            str(ours_fl)], capture_output=True)
+        assert r.returncode == 0, r.stderr
+        assert back.read_bytes() == src.read_bytes()
+
     def test_metadata_options(self, tmp_path, wav_file):
         wav, sig = wav_file
         out = tmp_path / "a.flac"

@@ -64,6 +64,41 @@ class TestSelfRoundtrip:
                         is_big_endian=be, is_unsigned=unsigned)
         np.testing.assert_array_equal(got.samples, buf.samples)
 
+    @pytest.mark.parametrize("bps", [12, 20])
+    def test_odd_bps_left_justified(self, bps):
+        """bps%8 streams store left-justified in the padded byte width
+        (reference decode.c:962,1094-1097; oracle-verified byte layout) and
+        round-trip back to right-justified samples through the parsers."""
+        buf = _buf(bps=bps, seed=bps)
+        pad = (8 - bps % 8) % 8
+        bytes_per = (bps + 7) // 8
+        data = wav_bytes(buf)
+        got = parse_wav(data)
+        np.testing.assert_array_equal(got.samples, buf.samples)
+        assert got.bits_per_sample == bps
+        j = data.find(b"data")
+        n = struct.unpack_from("<I", data, j + 4)[0]
+        pcm = np.frombuffer(data[j + 8 : j + 8 + n], np.uint8).reshape(-1, bytes_per)
+        assert not np.any(pcm[:, 0] & ((1 << pad) - 1)), "WAV low pad bits must be 0"
+        adata = aiff_bytes(buf)
+        agot = parse_aiff(adata)
+        np.testing.assert_array_equal(agot.samples, buf.samples)
+        k = adata.find(b"SSND")
+        apcm = np.frombuffer(adata[k + 16 : k + 16 + n], np.uint8).reshape(-1, bytes_per)
+        assert not np.any(apcm[:, -1] & ((1 << pad) - 1)), "AIFF low pad bits must be 0"
+        wgot = parse_w64(w64_bytes(buf))
+        np.testing.assert_array_equal(wgot.samples, buf.samples)
+
+    def test_left_justified_buffers_pass_through(self):
+        """A buffer marked left_justified (the CLI ReplayGain path) is
+        emitted as-is while the header keeps the true bps."""
+        buf = _buf(bps=20, seed=1)
+        pre = AudioBuffer(samples=buf.samples << 4, sample_rate=44100,
+                          bits_per_sample=20, left_justified=True)
+        assert wav_bytes(pre) == wav_bytes(buf)
+        assert aiff_bytes(pre) == aiff_bytes(buf)
+        assert w64_bytes(pre) == w64_bytes(buf)
+
     def test_sniff(self):
         buf = _buf(n=100)
         assert sniff_format(wav_bytes(buf)) == "wav"

@@ -200,3 +200,40 @@ class TestSynthesisOracleDifferential:
         assert main(["--totally-silent", "-d", "-f", arg, "-o", str(ours),
                      str(fl)]) == 0
         assert ours.read_bytes() == ref.read_bytes()
+
+    @pytest.mark.parametrize("spec", [None, "an2"])
+    def test_apply_gain_odd_bps_matches_reference(self, tmp_path, spec):
+        """bps%8 source (20-bit): the reference dithers/quantizes at the
+        SOURCE width (init_dither_context gets the stream bps, decode.c:1353;
+        Mask/Add/Dither in replaygain_synthesis.c:226-228) while converting
+        at target_bps = bps+shift — output bytes must match exactly."""
+        from tests.conftest import oracle_path
+        oracle = oracle_path()
+        mf = oracle.parent / "metaflac" if oracle else None
+        if oracle is None or not mf.exists():
+            pytest.skip("reference flac/metaflac oracle not available")
+        import subprocess
+        from flac_tpu.cli.flac import main
+        from flac_tpu.containers import AudioBuffer, write_wav
+        from tests.conftest import make_signal
+        pcm = make_signal(44100 // 2, 2, 20, kind="quiet", seed=9)
+        wav = tmp_path / "rg20.wav"
+        write_wav(str(wav), AudioBuffer(samples=pcm, sample_rate=44100,
+                                        bits_per_sample=20))
+        fl = tmp_path / "rg20.flac"
+        r = subprocess.run([str(oracle), "-f", "-s", "-o", str(fl), str(wav)],
+                           capture_output=True)
+        assert r.returncode == 0, r.stderr
+        r = subprocess.run([str(mf), "--add-replay-gain", str(fl)],
+                           capture_output=True)
+        assert r.returncode == 0, r.stderr
+        arg = "--apply-replaygain-which-is-not-lossless" + (
+            f"={spec}" if spec is not None else "")
+        ref = tmp_path / "ref.wav"
+        r = subprocess.run([str(oracle), "-d", "-f", "-s", arg, "-o",
+                            str(ref), str(fl)], capture_output=True)
+        assert r.returncode == 0, r.stderr
+        ours = tmp_path / "ours.wav"
+        assert main(["--totally-silent", "-d", "-f", arg, "-o", str(ours),
+                     str(fl)]) == 0
+        assert ours.read_bytes() == ref.read_bytes()

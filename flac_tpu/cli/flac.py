@@ -812,6 +812,113 @@ def _decode_window(o: Options, data: bytes):
     return pcm, si
 
 
+def _channel_mask_tag(meta_blocks) -> int:
+    """WAVEFORMATEXTENSIBLE_CHANNEL_MASK tag restores the source speaker
+    mask (flac__utils_get_channel_mask_tag, decode.c:1359)."""
+    from flac_tpu.metadata import VorbisComment
+    for b in meta_blocks:
+        if isinstance(b, VorbisComment):
+            for c in b.comments:
+                name, _, val = c.partition("=")
+                if (name.upper() == "WAVEFORMATEXTENSIBLE_CHANNEL_MASK"
+                        and val[:2].lower() == "0x"):
+                    return int(val, 16)
+    return 0
+
+
+def _decode_streaming(path: str, data: bytes, o: Options) -> int | None:
+    """Constant-memory decode: write container headers up front (sizes from
+    STREAMINFO total_samples), stream PCM blocks from the batched device
+    decoder, fix the headers up if the stream delivered a different count
+    (the reference does the same, decode.c:119-128). Returns None when this
+    fast path doesn't apply (windowing/RG/foreign restore/-F/unknown length
+    stay on the assembled path)."""
+    if (o.apply_rg is not None or o.cue or o.skip or o.until
+            or o.decode_through_errors or o.keep_foreign):
+        return None
+    from flac_tpu.containers import (aiff_header_bytes, aiff_trailer_bytes,
+                                     w64_header_bytes, w64_trailer_bytes,
+                                     wav_header_bytes, wav_trailer_bytes)
+    from flac_tpu.containers.aiff import _aiff_pcm_bytes
+    from flac_tpu.containers.wav import _wav_pcm_bytes
+    from flac_tpu.decode.stream import StreamDecoder
+
+    dec = StreamDecoder(data)
+    si = dec.streaminfo
+    total = si.total_samples
+    if not total:
+        return None  # header sizes unknown up front: assemble instead
+    ch, bits, rate = si.channels, si.bits_per_sample, si.sample_rate
+    channel_mask = _channel_mask_tag(dec.metadata)
+
+    def _ab(block):
+        return AudioBuffer(samples=block, sample_rate=rate, bits_per_sample=bits)
+
+    if o.force_raw:
+        header = lambda n: b""
+        trailer = lambda n: b""
+        blk = lambda b: raw_bytes(_ab(b), is_big_endian=o.raw_endian == "big",
+                                  is_unsigned=o.raw_sign == "unsigned")
+    elif o.force_aiff:
+        header = lambda n: aiff_header_bytes(n, ch, bits, rate)
+        trailer = lambda n: aiff_trailer_bytes(n, ch, bits)
+        blk = lambda b: _aiff_pcm_bytes(_ab(b))
+    elif o.force_rf64 or o.force_w64:
+        rf64 = o.force_rf64
+        header = (lambda n: wav_header_bytes(n, ch, bits, rate,
+                                             channel_mask=channel_mask,
+                                             rf64=True)) if rf64 else \
+                 (lambda n: w64_header_bytes(n, ch, bits, rate,
+                                             channel_mask=channel_mask))
+        trailer = (lambda n: wav_trailer_bytes(n, ch, bits)) if rf64 else \
+                  (lambda n: w64_trailer_bytes(n, ch, bits))
+        blk = lambda b: _wav_pcm_bytes(_ab(b))
+    else:
+        header = lambda n: wav_header_bytes(n, ch, bits, rate,
+                                            channel_mask=channel_mask)
+        trailer = lambda n: wav_trailer_bytes(n, ch, bits)
+        blk = lambda b: _wav_pcm_bytes(_ab(b))
+
+    out_path = o.output_name or _default_outname(path, o)
+    to_stdout = o.to_stdout or out_path == "-"
+    if not to_stdout and os.path.exists(out_path) and not o.force:
+        raise CLIError(f"output file {out_path} exists; use -f to override")
+    f = sys.stdout.buffer if to_stdout else open(out_path, "wb")
+    emitted = 0
+    try:
+        f.write(header(total))
+        for block in dec.iter_blocks():
+            f.write(blk(block))
+            emitted += len(block)
+        f.write(trailer(emitted))
+        if emitted != total:
+            # short/long stream vs STREAMINFO: rewrite the headers with the
+            # real count (same length — sizes are the only fields that
+            # change); the reference fixes headers up the same way
+            if to_stdout:
+                o.say(1, f"WARNING: decoded {emitted} samples, STREAMINFO "
+                         f"said {total}; stdout headers not rewritten")
+            else:
+                f.seek(0)
+                f.write(header(emitted))
+    except Exception:
+        if not to_stdout:
+            f.close()
+            try:
+                os.unlink(out_path)  # match the assembled path: error => no file
+            except OSError:
+                pass
+        raise
+    if not to_stdout:
+        f.close()
+        if o.preserve_modtime and path != "-":
+            _copy_modtime(path, out_path)
+        o.say(2, f"{os.path.basename(path)}: done")
+    if o.delete_input and path != "-":
+        os.unlink(path)
+    return 0
+
+
 def decode_one(path: str, o: Options) -> int:
     if path == "-":
         data = sys.stdin.buffer.read()
@@ -822,6 +929,9 @@ def decode_one(path: str, o: Options) -> int:
         # unwrap to a native stream so windowing/seek work identically
         from flac_tpu.ogg import flac_stream_from_ogg
         data = flac_stream_from_ogg(data)
+    rc = _decode_streaming(path, data, o)
+    if rc is not None:
+        return rc
     pcm, si = _decode_window(o, data)
     # bps%8!=0 layout: the container writers left-justify into the padded
     # byte width themselves (decode.c:962,1094-1097); raw output stays
@@ -848,21 +958,13 @@ def decode_one(path: str, o: Options) -> int:
     buf = AudioBuffer(samples=pcm, sample_rate=si.sample_rate,
                       bits_per_sample=si.bits_per_sample,
                       left_justified=o.apply_rg is not None and shift > 0)
-    # WAVEFORMATEXTENSIBLE_CHANNEL_MASK tag restores the source speaker mask
-    # (flac__utils_get_channel_mask_tag, decode.c:1359)
-    channel_mask = 0
     try:
-        from flac_tpu.metadata import VorbisComment, parse_metadata
+        from flac_tpu.metadata import parse_metadata
         meta_blocks, _ = parse_metadata(data, 4)
-        for b in meta_blocks:
-            if isinstance(b, VorbisComment):
-                for c in b.comments:
-                    name, _, val = c.partition("=")
-                    if (name.upper() == "WAVEFORMATEXTENSIBLE_CHANNEL_MASK"
-                            and val[:2].lower() == "0x"):
-                        channel_mask = int(val, 16)
+        channel_mask = _channel_mask_tag(meta_blocks)
     except Exception:
         meta_blocks = []
+        channel_mask = 0
     foreign = None
     if o.keep_foreign:
         # gating per main.c:2038-2043; restore chunks stored in APPLICATION
@@ -917,7 +1019,7 @@ def decode_one(path: str, o: Options) -> int:
 
 
 def test_one(path: str, o: Options) -> int:
-    from flac_tpu.decode.stream import decode_bytes_device
+    from flac_tpu.decode.stream import StreamDecoder
 
     with open(path, "rb") as f:
         data = f.read()
@@ -926,7 +1028,10 @@ def test_one(path: str, o: Options) -> int:
             from flac_tpu.ogg import decode_ogg_flac
             decode_ogg_flac(data)
         else:
-            decode_bytes_device(data)
+            # stream the blocks and discard them: full CRC/MD5 verification
+            # in constant memory
+            for _ in StreamDecoder(data).iter_blocks():
+                pass
     except Exception as e:  # CRC/MD5/parse failures
         o.say(1, f"{os.path.basename(path)}: FAILED ({e})")
         return 1

@@ -11,10 +11,14 @@ from flac_tpu.containers.wav import (  # noqa: F401
     read_wav,
     rf64_bytes,
     wav_bytes,
+    wav_header_bytes,
+    wav_trailer_bytes,
     write_wav,
 )
 from flac_tpu.containers.aiff import (  # noqa: F401
     aiff_bytes,
+    aiff_header_bytes,
+    aiff_trailer_bytes,
     parse_aiff,
     read_aiff,
     write_aiff,
@@ -23,6 +27,8 @@ from flac_tpu.containers.w64 import (  # noqa: F401
     parse_w64,
     read_w64,
     w64_bytes,
+    w64_header_bytes,
+    w64_trailer_bytes,
     write_w64,
 )
 from flac_tpu.containers.raw import (  # noqa: F401

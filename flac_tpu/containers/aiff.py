@@ -123,12 +123,7 @@ def read_aiff(path: str) -> AudioBuffer:
         return parse_aiff(f.read())
 
 
-def aiff_bytes(buf: AudioBuffer, foreign=None) -> bytes:
-    """Serialize to AIFF exactly as the reference decoder does
-    (decode.c:733-782): FORM header [foreign before COMM] COMM [foreign
-    between] SSND(offset=0,blockSize=0)+PCM (2-aligned) [foreign after].
-    `foreign` is a cli.foreign.ForeignMetadata; the reference always
-    restores with SSND offset 0 regardless of the stored offset bytes."""
+def _aiff_pcm_bytes(buf: AudioBuffer) -> bytes:
     bits = buf.bits_per_sample
     bytes_per = (bits + 7) // 8
     flat = np.ascontiguousarray(buf.samples, dtype=np.int32).reshape(-1)
@@ -137,18 +132,26 @@ def aiff_bytes(buf: AudioBuffer, foreign=None) -> bytes:
     shift = bytes_per * 8 - bits if (bits % 8 and not buf.left_justified) else 0
     shifted = flat << shift if shift else flat
     if bytes_per == 1:
-        pcm = shifted.astype(np.int8).tobytes()
-    elif bytes_per == 2:
-        pcm = shifted.astype(">i2").tobytes()
-    elif bytes_per == 3:
+        return shifted.astype(np.int8).tobytes()
+    if bytes_per == 2:
+        return shifted.astype(">i2").tobytes()
+    if bytes_per == 3:
         be = shifted.astype(">i4").view(np.uint8).reshape(-1, 4)
-        pcm = np.ascontiguousarray(be[:, 1:]).tobytes()
-    elif bytes_per == 4:
-        pcm = shifted.astype(">i4").tobytes()
-    else:
-        raise ValueError(f"unsupported bits per sample {bits}")
-    comm = struct.pack(">hIh", buf.channels, buf.nsamples, bits) + _f80_encode(buf.sample_rate)
-    aligned = len(pcm) + (len(pcm) & 1)
+        return np.ascontiguousarray(be[:, 1:]).tobytes()
+    if bytes_per == 4:
+        return shifted.astype(">i4").tobytes()
+    raise ValueError(f"unsupported bits per sample {bits}")
+
+
+def aiff_header_bytes(nsamples: int, channels: int, bits_per_sample: int,
+                      sample_rate: int, foreign=None) -> bytes:
+    """Everything before the PCM payload — the streaming half of
+    aiff_bytes (sizes derived from nsamples)."""
+    bytes_per = (bits_per_sample + 7) // 8
+    pcm_len = nsamples * channels * bytes_per
+    comm = (struct.pack(">hIh", channels, nsamples, bits_per_sample)
+            + _f80_encode(sample_rate))
+    aligned = pcm_len + (pcm_len & 1)
     extra = foreign.extra_size() if foreign else 0
     out = bytearray()
     # decode.c:610: iff_size = 46 + foreign + aligned data
@@ -158,13 +161,30 @@ def aiff_bytes(buf: AudioBuffer, foreign=None) -> bytes:
     out += b"COMM" + struct.pack(">I", len(comm)) + comm
     if foreign:
         out += foreign.chunks_between()
-    out += b"SSND" + struct.pack(">I", len(pcm) + 8) + struct.pack(">II", 0, 0)
-    out += pcm
-    if len(pcm) & 1:
-        out += b"\x00"
+    out += b"SSND" + struct.pack(">I", pcm_len + 8) + struct.pack(">II", 0, 0)
+    return bytes(out)
+
+
+def aiff_trailer_bytes(nsamples: int, channels: int, bits_per_sample: int,
+                       foreign=None) -> bytes:
+    pcm_len = nsamples * channels * ((bits_per_sample + 7) // 8)
+    out = b"\x00" if pcm_len & 1 else b""
     if foreign:
         out += foreign.chunks_after()
-    return bytes(out)
+    return out
+
+
+def aiff_bytes(buf: AudioBuffer, foreign=None) -> bytes:
+    """Serialize to AIFF exactly as the reference decoder does
+    (decode.c:733-782): FORM header [foreign before COMM] COMM [foreign
+    between] SSND(offset=0,blockSize=0)+PCM (2-aligned) [foreign after].
+    `foreign` is a cli.foreign.ForeignMetadata; the reference always
+    restores with SSND offset 0 regardless of the stored offset bytes."""
+    return (aiff_header_bytes(buf.nsamples, buf.channels, buf.bits_per_sample,
+                              buf.sample_rate, foreign)
+            + _aiff_pcm_bytes(buf)
+            + aiff_trailer_bytes(buf.nsamples, buf.channels,
+                                 buf.bits_per_sample, foreign))
 
 
 def write_aiff(path: str, buf: AudioBuffer) -> None:

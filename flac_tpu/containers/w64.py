@@ -87,11 +87,26 @@ def w64_bytes(buf: AudioBuffer, foreign=None, channel_mask: int = 0) -> bytes:
     between] data+PCM (8-aligned) [foreign after]. Chunk size fields
     include the 24-byte header; `foreign` is a cli.foreign.ForeignMetadata.
     """
-    from flac_tpu.containers.wav import _fmt_chunk_body, _wav_pcm_bytes
+    from flac_tpu.containers.wav import _wav_pcm_bytes
 
-    pcm = _wav_pcm_bytes(buf)
-    aligned = _align8(len(pcm))
-    fmt_body, _ext = _fmt_chunk_body(buf, channel_mask)
+    return (w64_header_bytes(buf.nsamples, buf.channels, buf.bits_per_sample,
+                             buf.sample_rate, foreign, channel_mask)
+            + _wav_pcm_bytes(buf)
+            + w64_trailer_bytes(buf.nsamples, buf.channels,
+                                buf.bits_per_sample, foreign))
+
+
+def w64_header_bytes(nsamples: int, channels: int, bits_per_sample: int,
+                     sample_rate: int, foreign=None,
+                     channel_mask: int = 0) -> bytes:
+    """Everything before the PCM payload — the streaming half of w64_bytes
+    (sizes derived from nsamples)."""
+    from flac_tpu.containers.wav import _fmt_chunk_body
+
+    pcm_len = nsamples * channels * ((bits_per_sample + 7) // 8)
+    aligned = _align8(pcm_len)
+    fmt_body, _ext = _fmt_chunk_body(channels, sample_rate, bits_per_sample,
+                                     channel_mask)
     extra = foreign.extra_size() if foreign else 0
     # decode.c:608: header + WAVE GUID + fmt chunk + data chunk header
     iff_size = (16 + 8) + 16 + (16 + 8 + len(fmt_body)) + (16 + 8) \
@@ -103,8 +118,14 @@ def w64_bytes(buf: AudioBuffer, foreign=None, channel_mask: int = 0) -> bytes:
     out += GUID_FMT + struct.pack("<Q", _HDR + len(fmt_body)) + fmt_body
     if foreign:
         out += foreign.chunks_between()
-    out += GUID_DATA + struct.pack("<Q", _HDR + len(pcm)) + pcm
-    out += b"\x00" * (aligned - len(pcm))
+    out += GUID_DATA + struct.pack("<Q", _HDR + pcm_len)
+    return bytes(out)
+
+
+def w64_trailer_bytes(nsamples: int, channels: int, bits_per_sample: int,
+                      foreign=None) -> bytes:
+    pcm_len = nsamples * channels * ((bits_per_sample + 7) // 8)
+    out = b"\x00" * (_align8(pcm_len) - pcm_len)
     if foreign:
         out += foreign.chunks_after()
     return bytes(out)

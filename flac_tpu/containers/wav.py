@@ -195,13 +195,12 @@ def _wav_pcm_bytes(buf: AudioBuffer) -> bytes:
 _SUBTYPE_PCM_GUID = b"\x01\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
 
 
-def _fmt_chunk_body(buf: AudioBuffer, channel_mask: int) -> tuple[bytes, bool]:
+def _fmt_chunk_body(channels: int, sample_rate: int, bits: int,
+                    channel_mask: int) -> tuple[bytes, bool]:
     """fmt body + whether it is WAVEFORMATEXTENSIBLE. Extensible exactly when
     the reference decoder would emit it: mask==2 or mask>3 or bps%8 or >2ch
     (decode.c:545-551, write_riff_wave_fmt_chunk_body:785-818)."""
-    bits = buf.bits_per_sample
     bytes_per = (bits + 7) // 8
-    channels = buf.channels
     if channel_mask == 0:
         # defaults the reference picks per channel count (decode.c:350-377)
         channel_mask = {1: 0x0001, 2: 0x0003, 3: 0x0007, 4: 0x0033,
@@ -210,8 +209,8 @@ def _fmt_chunk_body(buf: AudioBuffer, channel_mask: int) -> tuple[bytes, bool]:
            or channels > 2)
     body = struct.pack("<HHIIHH",
                        WAVE_FORMAT_EXTENSIBLE if ext else WAVE_FORMAT_PCM,
-                       channels, buf.sample_rate,
-                       buf.sample_rate * channels * bytes_per,
+                       channels, sample_rate,
+                       sample_rate * channels * bytes_per,
                        channels * bytes_per, bytes_per * 8)
     if ext:
         body += struct.pack("<HHI", 22, bits, channel_mask) + _SUBTYPE_PCM_GUID
@@ -226,15 +225,19 @@ def rf64_bytes(buf: AudioBuffer, foreign=None, channel_mask: int = 0) -> bytes:
                      rf64=True)
 
 
-def wav_bytes(buf: AudioBuffer, foreign=None, channel_mask: int = 0,
-              rf64: bool = False) -> bytes:
-    """Serialize to RIFF WAVE (or RF64) exactly as the reference decoder
-    does (decode.c:536-737 write_iff_headers): RIFF header [+ds64]
-    [foreign chunks before fmt] fmt [foreign between] data+PCM (2-aligned)
-    [foreign after]. `foreign` is a cli.foreign.ForeignMetadata."""
-    pcm = _wav_pcm_bytes(buf)
-    aligned = len(pcm) + (len(pcm) & 1)
-    fmt, _ext = _fmt_chunk_body(buf, channel_mask)
+def wav_header_bytes(nsamples: int, channels: int, bits_per_sample: int,
+                     sample_rate: int, foreign=None, channel_mask: int = 0,
+                     rf64: bool = False) -> bytes:
+    """Everything before the PCM payload (sizes derived from nsamples) —
+    the streaming half of wav_bytes, so a long decode can write headers
+    first and stream blocks through _wav_pcm_bytes without assembling the
+    whole file (the reference decoder writes its headers up front too,
+    decode.c:536-737)."""
+    bytes_per = (bits_per_sample + 7) // 8
+    pcm_len = nsamples * channels * bytes_per
+    aligned = pcm_len + (pcm_len & 1)
+    fmt, _ext = _fmt_chunk_body(channels, sample_rate, bits_per_sample,
+                                channel_mask)
     extra = foreign.extra_size() if foreign else 0
     iff_size = 4 + (36 if rf64 else 0) + 8 + len(fmt) + 8 + extra + aligned
     if not rf64 and iff_size >= 0xFFFFFFF4:
@@ -242,8 +245,8 @@ def wav_bytes(buf: AudioBuffer, foreign=None, channel_mask: int = 0,
     out = bytearray()
     if rf64:
         out += b"RF64" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
-        out += b"ds64" + struct.pack("<IQQQI", 28, iff_size, len(pcm),
-                                     buf.nsamples, 0)
+        out += b"ds64" + struct.pack("<IQQQI", 28, iff_size, pcm_len,
+                                     nsamples, 0)
     else:
         out += b"RIFF" + struct.pack("<I", iff_size) + b"WAVE"
     if foreign:
@@ -251,9 +254,27 @@ def wav_bytes(buf: AudioBuffer, foreign=None, channel_mask: int = 0,
     out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
     if foreign:
         out += foreign.chunks_between()
-    out += b"data" + struct.pack("<I", 0xFFFFFFFF if rf64 else len(pcm)) + pcm
-    if len(pcm) & 1:
-        out += b"\x00"
+    out += b"data" + struct.pack("<I", 0xFFFFFFFF if rf64 else pcm_len)
+    return bytes(out)
+
+
+def wav_trailer_bytes(nsamples: int, channels: int, bits_per_sample: int,
+                      foreign=None) -> bytes:
+    pcm_len = nsamples * channels * ((bits_per_sample + 7) // 8)
+    out = b"\x00" if pcm_len & 1 else b""
     if foreign:
         out += foreign.chunks_after()
-    return bytes(out)
+    return out
+
+
+def wav_bytes(buf: AudioBuffer, foreign=None, channel_mask: int = 0,
+              rf64: bool = False) -> bytes:
+    """Serialize to RIFF WAVE (or RF64) exactly as the reference decoder
+    does (decode.c:536-737 write_iff_headers): RIFF header [+ds64]
+    [foreign chunks before fmt] fmt [foreign between] data+PCM (2-aligned)
+    [foreign after]. `foreign` is a cli.foreign.ForeignMetadata."""
+    return (wav_header_bytes(buf.nsamples, buf.channels, buf.bits_per_sample,
+                             buf.sample_rate, foreign, channel_mask, rf64)
+            + _wav_pcm_bytes(buf)
+            + wav_trailer_bytes(buf.nsamples, buf.channels,
+                                buf.bits_per_sample, foreign))

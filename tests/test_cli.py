@@ -156,6 +156,28 @@ class TestFlacCLI:
         assert r.returncode == 0, r.stderr
         assert back.read_bytes() == src.read_bytes()
 
+    def test_streaminfo_overestimate_header_fixup(self, tmp_path, wav_file):
+        """The streaming decode path writes container headers from
+        STREAMINFO total_samples up front; when the stream delivers a
+        different count the headers are rewritten with the real one
+        (reference decode.c:119-128 fixes headers up the same way)."""
+        from flac_tpu.metadata import parse_metadata
+        from flac_tpu.metadata.blocks import serialize_metadata
+        wav, sig = wav_file
+        out = tmp_path / "a.flac"
+        assert run_flac("-2", "-f", "-o", str(out), str(wav)) == 0
+        data = out.read_bytes()
+        blocks, audio_offset = parse_metadata(data)
+        blocks[0].total_samples += 777  # overestimate; MD5 still matches
+        patched = tmp_path / "p.flac"
+        patched.write_bytes(b"fLaC" + serialize_metadata([blocks[0]])
+                            + data[audio_offset:])
+        back = tmp_path / "back.wav"
+        assert run_flac("-d", "-f", "-o", str(back), str(patched)) == 0
+        got = read_wav(str(back))
+        assert got.nsamples == len(sig)
+        np.testing.assert_array_equal(got.samples, sig)
+
     def test_metadata_options(self, tmp_path, wav_file):
         wav, sig = wav_file
         out = tmp_path / "a.flac"

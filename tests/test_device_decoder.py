@@ -19,6 +19,44 @@ def _encode(tmp_path, sig, bps, level, rate=44100, **kw):
     return path.read_bytes()
 
 
+class TestIterBlocks:
+    """The bounded-memory streaming core (StreamDecoder.iter_blocks)."""
+
+    def test_blocks_equal_decode_all(self, tmp_path):
+        from flac_tpu.decode.stream import StreamDecoder
+        sig = make_signal(4096 * 9 + 1501, 2, 16, kind="quiet", seed=4)
+        data = _encode(tmp_path, sig, 16, 5)
+        blocks = []
+        dec = StreamDecoder(data, batch_frames=4)
+        for b in dec.iter_blocks():
+            blocks.append(b)
+        assert len(blocks) > 1, "multi-batch stream must stream as blocks"
+        np.testing.assert_array_equal(np.concatenate(blocks), sig)
+        assert dec.decode_info["path"] == "device"
+        pcm, info = StreamDecoder(data, batch_frames=4).decode_all()
+        np.testing.assert_array_equal(pcm, np.concatenate(blocks))
+        assert info["frames"] == dec.decode_info["frames"]
+
+    def test_md5_verdict_raised_at_exhaustion(self, tmp_path):
+        from flac_tpu.decode import host_decoder as hd
+        from flac_tpu.decode.stream import StreamDecoder
+        sig = make_signal(4096 * 2, 2, 16, seed=5)
+        data = bytearray(_encode(tmp_path, sig, 16, 2))
+        data[26] ^= 0xFF  # corrupt a STREAMINFO md5 byte (offset 4+4+18)
+        got = 0
+        with pytest.raises(hd.DecodeError, match="MD5"):
+            for b in StreamDecoder(bytes(data)).iter_blocks():
+                got += len(b)
+        assert got == len(sig), "all PCM is delivered before the MD5 verdict"
+
+    def test_strict_only(self, tmp_path):
+        from flac_tpu.decode.stream import StreamDecoder
+        data = _encode(tmp_path, make_signal(4096, 1, 16), 16, 1)
+        dec = StreamDecoder(data, continue_on_error=True)
+        with pytest.raises(ValueError):
+            next(dec.iter_blocks())
+
+
 class TestDeviceDecode:
     @pytest.mark.parametrize("level", [0, 5])
     def test_roundtrip_stereo(self, tmp_path, level):

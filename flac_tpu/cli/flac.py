@@ -506,22 +506,37 @@ def _parse_apodization(s: str) -> tuple:
 
 
 def _read_input(path: str, o: Options) -> tuple[AudioBuffer, str, bytes]:
+    # Containers parse lazily when encoding: samples become a LazyPCM view
+    # and file-backed inputs are memory-mapped, so the int32 expansion of a
+    # multi-GB input never materializes (encode_file feeds the stream
+    # encoder in bounded chunks). Foreign-metadata scans want real bytes.
+    lazy = o.mode == "encode" and not o.keep_foreign
     if path == "-":
         data = sys.stdin.buffer.read()
     else:
-        with open(path, "rb") as f:
-            data = f.read()
+        import numpy as _np
+        try:
+            data = (memoryview(_np.memmap(path, dtype=_np.uint8, mode="r"))
+                    if lazy and os.path.getsize(path) else None)
+        except (OSError, ValueError):
+            data = None
+        if data is None:
+            with open(path, "rb") as f:
+                data = f.read()
     if o.input_size:
         data = data[: o.input_size]
     kind = "raw" if o.force_raw else sniff_format(data)
+    if isinstance(data, memoryview) and kind in ("flac", "ogg"):
+        data = bytes(data)  # codec inputs walk bytes; containers take views
     if kind in ("wav", "rf64"):
         strict = o.mode == "encode" and not o.channel_map_none
         return parse_wav(data, ignore_chunk_sizes=o.ignore_chunk_sizes,
-                         strict_channel_mask=strict), kind, data
+                         strict_channel_mask=strict, lazy=lazy), kind, data
     if kind == "w64":
-        return parse_w64(data), kind, data
+        return parse_w64(data, lazy=lazy), kind, data
     if kind == "aiff":
-        return parse_aiff(data, ignore_chunk_sizes=o.ignore_chunk_sizes), kind, data
+        return parse_aiff(data, ignore_chunk_sizes=o.ignore_chunk_sizes,
+                          lazy=lazy), kind, data
     if kind == "flac":
         from flac_tpu.decode.stream import decode_bytes_device
         pcm, si, _ = decode_bytes_device(data)
@@ -538,7 +553,8 @@ def _read_input(path: str, o: Options) -> tuple[AudioBuffer, str, bytes]:
         return parse_raw(data, channels=o.raw_channels, bits_per_sample=o.raw_bps,
                          sample_rate=o.raw_rate,
                          is_big_endian=o.raw_endian == "big",
-                         is_unsigned=o.raw_sign == "unsigned"), kind, data
+                         is_unsigned=o.raw_sign == "unsigned",
+                         lazy=lazy), kind, data
     raise CLIError(f"unsupported input format {kind}")
 
 
@@ -753,6 +769,7 @@ def encode_one(path: str, o: Options, is_last: bool = True) -> int:
             o.serial_number = random.randrange(0, 1 << 31)
         serial = o.serial_number
         o.serial_number += 1
+        sig = np.asarray(sig)  # the Ogg encoder takes a realized array
         data = encode_ogg_flac(sig, buf.sample_rate, buf.bits_per_sample,
                                level=o.level, blocksize=o.blocksize,
                                metadata=blocks, verify=o.verify, serial=serial,

@@ -74,7 +74,8 @@ def _decode_pcm_be(raw: bytes, bits: int, channels: int, little: bool = False) -
     return data.reshape(-1, channels)
 
 
-def parse_aiff(data: bytes, ignore_chunk_sizes: bool = False) -> AudioBuffer:
+def parse_aiff(data: bytes, ignore_chunk_sizes: bool = False,
+               lazy: bool = False) -> AudioBuffer:
     if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
         raise ValueError("not an AIFF/AIFF-C file")
     is_aifc = data[8:12] == b"AIFC"
@@ -106,12 +107,18 @@ def parse_aiff(data: bytes, ignore_chunk_sizes: bool = False) -> AudioBuffer:
         elif cid == b"FVER" and is_aifc:
             pass  # format version, nothing to do
         else:
-            foreign.append((cid, data[pos : pos + 8 + csize + (csize & 1)]))
+            foreign.append((bytes(cid), data[pos : pos + 8 + csize + (csize & 1)]))
         pos += 8 + csize + (csize & 1)
     if comm is None or pcm is None:
         raise ValueError("missing COMM or SSND chunk")
     channels, nframes, bits, rate = comm
-    samples = _decode_pcm_be(pcm, bits, channels, little=little)
+    if lazy:
+        from flac_tpu.containers.wav import LazyPCM
+        samples = LazyPCM(pcm, bits, channels,
+                          lambda raw: _decode_pcm_be(raw, bits, channels,
+                                                     little=little))
+    else:
+        samples = _decode_pcm_be(pcm, bits, channels, little=little)
     if not ignore_chunk_sizes:
         samples = samples[:nframes]
     return AudioBuffer(samples=samples, sample_rate=rate, bits_per_sample=bits,

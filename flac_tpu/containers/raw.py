@@ -12,7 +12,16 @@ from flac_tpu.containers.wav import AudioBuffer
 
 def parse_raw(data: bytes, channels: int, bits_per_sample: int, sample_rate: int,
               is_big_endian: bool = False, is_unsigned: bool = False,
-              skip_bytes: int = 0) -> AudioBuffer:
+              skip_bytes: int = 0, lazy: bool = False) -> AudioBuffer:
+    if lazy:
+        from flac_tpu.containers.wav import LazyPCM
+        view = memoryview(data)[skip_bytes:]
+        samples = LazyPCM(
+            view, bits_per_sample, channels,
+            lambda raw: parse_raw(raw, channels, bits_per_sample, sample_rate,
+                                  is_big_endian, is_unsigned).samples)
+        return AudioBuffer(samples=samples, sample_rate=sample_rate,
+                           bits_per_sample=bits_per_sample)
     bytes_per = (bits_per_sample + 7) // 8
     data = data[skip_bytes:]
     n = len(data) // (bytes_per * channels)

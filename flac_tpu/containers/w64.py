@@ -32,7 +32,7 @@ def _align8(n: int) -> int:
     return (n + 7) & ~7
 
 
-def parse_w64(data: bytes) -> AudioBuffer:
+def parse_w64(data: bytes, lazy: bool = False) -> AudioBuffer:
     if data[:16] != GUID_RIFF or data[24:40] != GUID_WAVE:
         raise ValueError("not a Wave64 file")
     pos = 40
@@ -64,14 +64,23 @@ def parse_w64(data: bytes) -> AudioBuffer:
         elif guid == GUID_DATA:
             pcm = body
         else:
-            foreign.append((guid[:4], data[pos : pos + _align8(csize)]))
+            foreign.append((bytes(guid[:4]), data[pos : pos + _align8(csize)]))
         pos += _align8(csize)
     if fmt is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
     channels, rate, container_bits, valid_bits = fmt
-    samples = _decode_pcm(pcm, container_bits, channels)
-    if valid_bits < container_bits:
-        samples = samples >> (container_bits - valid_bits)
+
+    def conv(raw):
+        s = _decode_pcm(raw, container_bits, channels)
+        if valid_bits < container_bits:
+            s = s >> (container_bits - valid_bits)
+        return s
+
+    if lazy:
+        from flac_tpu.containers.wav import LazyPCM
+        samples = LazyPCM(pcm, container_bits, channels, conv)
+    else:
+        samples = conv(pcm)
     return AudioBuffer(samples=samples, sample_rate=rate, bits_per_sample=valid_bits,
                        foreign_chunks=foreign, channel_mask=mask)
 

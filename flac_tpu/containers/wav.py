@@ -51,6 +51,53 @@ class AudioBuffer:
         return self.samples.shape[1]
 
 
+class LazyPCM:
+    """Array-like view over a container's PCM bytes that converts slices on
+    access. Lets the CLI feed a multi-GB input to the (already chunked)
+    stream encoder in bounded memory: the int32 expansion of the whole file
+    never materializes, only the slice being processed. Supports the
+    operations the encode path uses — shape/len/size, unit-step row
+    slicing, and np.asarray — and materializes for anything else."""
+
+    ndim = 2
+    dtype = np.dtype(np.int32)
+
+    def __init__(self, raw, bits: int, channels: int, convert) -> None:
+        self._raw = memoryview(raw)
+        self.bits = bits
+        self.channels = channels
+        self._convert = convert  # (buffer) -> np.int32 [n, channels]
+        self._fw = ((bits + 7) // 8) * channels
+        self._n = len(self._raw) // self._fw
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self._n, self.channels)
+
+    @property
+    def size(self) -> int:
+        return self._n * self.channels
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice) and idx.step in (None, 1):
+            a, b, _ = idx.indices(self._n)
+            return LazyPCM(self._raw[a * self._fw : max(b, a) * self._fw],
+                           self.bits, self.channels, self._convert)
+        return self.materialize()[idx]
+
+    def materialize(self) -> np.ndarray:
+        return self._convert(self._raw)
+
+    def __array__(self, dtype=None, copy=None):
+        a = self.materialize()
+        if dtype is not None and np.dtype(dtype) != a.dtype:
+            return a.astype(dtype)
+        return a
+
+
 def _decode_pcm(raw: bytes, bits: int, channels: int) -> np.ndarray:
     bytes_per = (bits + 7) // 8
     n = len(raw) // (bytes_per * channels)
@@ -87,14 +134,17 @@ _SUPPORTED_CHANNEL_MASKS = frozenset([
 
 
 def parse_wav(data: bytes, ignore_chunk_sizes: bool = False,
-              strict_channel_mask: bool = False) -> AudioBuffer:
+              strict_channel_mask: bool = False,
+              lazy: bool = False) -> AudioBuffer:
     """`ignore_chunk_sizes`: treat the data chunk as extending to EOF — the
     reference's --ignore-chunk-sizes for streams with bogus RIFF sizes
     (encode.c get_sample_info_wave). `strict_channel_mask`: apply the
     reference ENCODER's channel-mask validation (encode.c:413,487-505;
     lifted by --channel-map=none). Off by default: the reference's own
     decoder writes mask 0 for 7/8-channel files, so a general-purpose
-    reader must accept unassigned masks."""
+    reader must accept unassigned masks. `lazy`: samples become a LazyPCM
+    view (bounded-memory encoding of huge inputs); `data` may then be any
+    buffer object, e.g. a numpy memmap wrapped in a memoryview."""
     if data[:4] not in (b"RIFF", b"RF64"):
         raise ValueError("not a RIFF/RF64 file")
     is_rf64 = data[:4] == b"RF64"
@@ -153,14 +203,22 @@ def parse_wav(data: bytes, ignore_chunk_sizes: bool = False,
                     raise ValueError("missing fmt chunk before data")
                 break
         else:
-            foreign.append((cid, data[pos : pos + 8 + csize + (csize & 1)]))
+            foreign.append((bytes(cid), data[pos : pos + 8 + csize + (csize & 1)]))
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
     channels, rate, container_bits, valid_bits = fmt[:4]
-    samples = _decode_pcm(pcm, container_bits, channels)
-    if valid_bits != container_bits and valid_bits < container_bits:
-        samples = samples >> (container_bits - valid_bits)
+
+    def conv(raw):
+        s = _decode_pcm(raw, container_bits, channels)
+        if valid_bits != container_bits and valid_bits < container_bits:
+            s = s >> (container_bits - valid_bits)
+        return s
+
+    # LazyPCM's row width follows the CONTAINER storage width (valid_bits
+    # only narrows the values, not the layout)
+    samples = (LazyPCM(pcm, container_bits, channels, conv) if lazy
+               else conv(pcm))
     mask = fmt[4] if len(fmt) > 4 else 0
     return AudioBuffer(samples=samples, sample_rate=rate, bits_per_sample=valid_bits,
                        foreign_chunks=foreign, channel_mask=mask)

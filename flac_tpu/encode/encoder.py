@@ -328,16 +328,25 @@ def encode_file(in_samples: np.ndarray, sample_rate: int, bits_per_sample: int,
                 metadata: list[MetadataBlock] | None = None,
                 seekpoints: list[int] | None = None, batch_frames: int = 64,
                 verify: bool = False, do_md5: bool = True, **overrides) -> EncodeStats:
-    """Encode an int32 [n, channels] PCM array to a FLAC file."""
+    """Encode an int32 [n, channels] PCM array to a FLAC file.
+
+    `in_samples` may also be an array-like that materializes on slicing
+    (containers.LazyPCM): the input is fed to the stream encoder in bounded
+    chunks, so a multi-GB container never expands to int32 all at once."""
     if in_samples.ndim == 1:
         in_samples = in_samples[:, None]
     cfg = EncoderConfig.from_level(level, in_samples.shape[1], bits_per_sample,
                                    sample_rate, blocksize=blocksize, **overrides)
+    n = in_samples.shape[0]
     with open(out_path, "wb") as f:
         enc = StreamEncoder(cfg, f, metadata=metadata, seekpoints=seekpoints,
                             batch_frames=batch_frames,
-                            total_samples_estimate=in_samples.shape[0],
+                            total_samples_estimate=n,
                             verify=verify, do_md5=do_md5)
-        enc.process(in_samples)
+        # feed in encoder-batch multiples: ndarray inputs pass through as
+        # views; lazy inputs convert one chunk at a time
+        step = max(enc.cfg.blocksize * enc.batch_frames, 1 << 20)
+        for s in range(0, n, step):
+            enc.process(np.asarray(in_samples[s : s + step]))
         enc.finish()
     return enc.stats

@@ -99,6 +99,27 @@ class TestSelfRoundtrip:
         assert aiff_bytes(pre) == aiff_bytes(buf)
         assert w64_bytes(pre) == w64_bytes(buf)
 
+    @pytest.mark.parametrize("bps", [8, 16, 20, 24])
+    def test_lazy_parse_matches_eager(self, bps):
+        """lazy=True parses samples as a LazyPCM view over the container
+        bytes (bounded-memory CLI encoding); values and slicing semantics
+        match the eager parse exactly."""
+        from flac_tpu.containers.wav import LazyPCM
+        buf = _buf(bps=bps, seed=bps + 1)
+        for parse, data in [(parse_wav, wav_bytes(buf)),
+                            (parse_aiff, aiff_bytes(buf)),
+                            (parse_w64, w64_bytes(buf))]:
+            lz = parse(data, lazy=True)
+            assert isinstance(lz.samples, LazyPCM)
+            assert lz.samples.shape == buf.samples.shape
+            assert lz.nsamples == buf.nsamples and lz.channels == buf.channels
+            np.testing.assert_array_equal(np.asarray(lz.samples), buf.samples)
+            np.testing.assert_array_equal(np.asarray(lz.samples[100:250]),
+                                          buf.samples[100:250])
+        lzr = parse_raw(raw_bytes(buf), channels=2, bits_per_sample=bps,
+                        sample_rate=44100, lazy=True)
+        np.testing.assert_array_equal(np.asarray(lzr.samples), buf.samples)
+
     def test_sniff(self):
         buf = _buf(n=100)
         assert sniff_format(wav_bytes(buf)) == "wav"

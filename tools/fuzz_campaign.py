@@ -154,11 +154,56 @@ def run_case(i: int, rng: np.random.Generator, oracle: Path, mode: str,
     return None
 
 
+def run_cli_case(i: int, rng: np.random.Generator, oracle: Path,
+                 tmp: Path) -> str | None:
+    """File-level differential through the flac CLI: random container in
+    (lazy/memmap encode input path), oracle -t on our stream, then both
+    binaries decode our stream to a random output container (streaming
+    decode path) — output files must be byte-identical."""
+    from flac_tpu.cli import flac as flac_cli
+    from flac_tpu.containers import AudioBuffer, write_aiff, write_w64, write_wav
+
+    c = draw_config(rng)
+    if rng.random() < 0.3:
+        c["bps"] = int(rng.choice([12, 20]))  # odd widths: left-justify layout
+    sig = make_signal(rng, c["n"], c["ch"], c["bps"])
+    in_kind = str(rng.choice(["wav", "aiff", "w64"]))
+    desc = f"cli case {i}: {c} in={in_kind}"
+    src = tmp / f"cli{i}.{in_kind}"
+    writer = {"wav": write_wav, "aiff": write_aiff, "w64": write_w64}[in_kind]
+    writer(str(src), AudioBuffer(samples=sig, sample_rate=44100,
+                                 bits_per_sample=c["bps"]))
+    ours = tmp / f"cli{i}.flac"
+    rc = flac_cli.main(["--totally-silent", f"-{c['level']}", "-f",
+                        "-o", str(ours), str(src)])
+    if rc != 0:
+        return f"{desc}: CLI encode rc={rc}"
+    r = subprocess.run([str(oracle), "-t", "-s", str(ours)], capture_output=True)
+    if r.returncode != 0:
+        return f"{desc}: oracle -t rc={r.returncode}: {r.stderr.decode()[:200]}"
+    flag, ext = [([], "wav"), (["--force-aiff-format"], "aiff"),
+                 (["--force-rf64-format"], "rf64"),
+                 (["--force-wave64-format"], "w64")][int(rng.integers(0, 4))]
+    ref = tmp / f"cli{i}_ref.{ext}"
+    r = subprocess.run([str(oracle), "-d", "-f", "-s", *flag, "-o", str(ref),
+                        str(ours)], capture_output=True)
+    if r.returncode != 0:
+        return f"{desc}: oracle -d rc={r.returncode}: {r.stderr.decode()[:200]}"
+    mine = tmp / f"cli{i}_mine.{ext}"
+    rc = flac_cli.main(["--totally-silent", "-d", "-f", *flag,
+                        "-o", str(mine), str(ours)])
+    if rc != 0:
+        return f"{desc}: CLI decode rc={rc}"
+    if mine.read_bytes() != ref.read_bytes():
+        return f"{desc}: decoded .{ext} differs from the oracle's"
+    return None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cases", type=int, default=50)
     ap.add_argument("--seed", type=int, default=1)
-    ap.add_argument("--mode", choices=["encode", "decode", "seek", "all"],
+    ap.add_argument("--mode", choices=["encode", "decode", "seek", "all", "cli"],
                     default="all")
     ap.add_argument("--per-proc", type=int, default=15,
                     help="cases per worker process: every random config "
@@ -198,7 +243,9 @@ def main() -> int:
     fails = []
     with tempfile.TemporaryDirectory() as td:
         for i in range(args.cases):
-            err = run_case(i, rng, oracle, args.mode, Path(td))
+            err = (run_cli_case(i, rng, oracle, Path(td))
+                   if args.mode == "cli"
+                   else run_case(i, rng, oracle, args.mode, Path(td)))
             if err:
                 fails.append(err)
                 print("FAIL", err, flush=True)

@@ -76,6 +76,10 @@ if _lib is not None:
     _lib.flacn_crc8.argtypes = [_u8p, ctypes.c_size_t]
     _lib.flacn_crc16.restype = ctypes.c_uint16
     _lib.flacn_crc16.argtypes = [_u8p, ctypes.c_size_t]
+    _lib.flacn_crc16_many.restype = None
+    _lib.flacn_crc16_many.argtypes = [_u8p, ctypes.c_size_t, _i64p, _i64p,
+                                      ctypes.c_size_t,
+                                      ctypes.POINTER(ctypes.c_uint16)]
     _lib.flacn_find_sync.restype = ctypes.c_int64
     _lib.flacn_find_sync.argtypes = [_u8p, ctypes.c_size_t, ctypes.c_size_t]
     _lib.flacn_md5_digest.restype = None
@@ -167,6 +171,22 @@ def crc16(data: bytes) -> int:
     arr = np.frombuffer(bytes(data), np.uint8)
     return int(_lib.flacn_crc16(
         arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(arr)))
+
+
+def crc16_many(data: np.ndarray, offsets: np.ndarray,
+               lengths: np.ndarray) -> np.ndarray:
+    """CRC-16 of data[offsets[i] : offsets[i]+lengths[i]) for every i, in
+    one native call (the decode pipeline's per-batch frame validation)."""
+    d = np.ascontiguousarray(data, np.uint8)
+    offs = np.ascontiguousarray(offsets, np.int64)
+    lens = np.ascontiguousarray(lengths, np.int64)
+    out = np.empty(len(offs), np.uint16)
+    _lib.flacn_crc16_many(
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), d.size,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(offs), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    return out
 
 
 def flac_md5_digest(data: bytes) -> bytes:

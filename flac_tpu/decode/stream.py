@@ -620,11 +620,11 @@ def check_frame_crc16(data_bytes: bytes, d: np.ndarray, offsets: np.ndarray,
     stored = (d[np.minimum(offsets + lengths - 2, len(d) - 1)].astype(np.uint16) << 8) \
         | d[np.minimum(offsets + lengths - 1, len(d) - 1)]
     try:
-        from flac_tpu._native import crc16 as native_crc16
-        crcs = np.fromiter(
-            (native_crc16(data_bytes[int(o):int(o + n - 2)])
-             for o, n in zip(offsets, lengths)),
-            np.uint16, count=len(offsets))
+        # one native call over the stream buffer: ~10x faster than per-frame
+        # Python slices + ctypes calls, ~80x the numpy fallback (which at
+        # 512x5.5KB frames cost 5x the device decode kernel itself)
+        from flac_tpu._native import crc16_many
+        crcs = crc16_many(d, offsets, np.maximum(lengths - 2, 0))
     except Exception:
         # pure-Python fallback: columnwise batch over a padded matrix
         maxlen = int(lengths.max())

@@ -307,19 +307,54 @@ static void md5_transform(uint32_t state[4], const uint32_t in[16]) {
         0xf4292244, 0x432aff97, 0xab9423a7, 0xfc93a039, 0x655b59c3, 0x8f0ccc92,
         0xffeff47d, 0x85845dd1, 0x6fa87e4f, 0xfe2ce6e0, 0xa3014314, 0x4e0811a1,
         0xf7537e82, 0xbd3af235, 0x2ad7d2bb, 0xeb86d391};
-    static const int S[4][4] = {{7,12,17,22},{5,9,14,20},{4,11,16,23},{6,10,15,21}};
     uint32_t a = state[0], b = state[1], c = state[2], d = state[3];
-    for (int i = 0; i < 64; i++) {
-        uint32_t f; int g;
-        if (i < 16)      { f = (b & c) | (~b & d);   g = i; }
-        else if (i < 32) { f = (d & b) | (~d & c);   g = (5 * i + 1) & 15; }
-        else if (i < 48) { f = b ^ c ^ d;            g = (3 * i + 5) & 15; }
-        else             { f = c ^ (b | ~d);         g = (7 * i) & 15; }
-        uint32_t tmp = d;
-        d = c; c = b;
-        b = b + rotl32(a + f + K[i] + in[g], S[i >> 4][i & 3]);
-        a = tmp;
-    }
+    // fully unrolled RFC 1321 rounds (the loop-form version branched on the
+    // round per step and ran ~174 MB/s; unrolling lifts the MD5 stage —
+    // every decode's verdict and every encode's STREAMINFO hash — to the
+    // memory-bound range). F uses the d^(b&(c^d)) form (one op fewer).
+#define MD5_STEP(F, w, x, y, z, i, g, s) \
+    w += F(x, y, z) + K[i] + in[g]; w = rotl32(w, s) + x;
+#define MD5_F(x, y, z) ((z) ^ ((x) & ((y) ^ (z))))
+#define MD5_G(x, y, z) ((y) ^ ((z) & ((x) ^ (y))))
+#define MD5_H(x, y, z) ((x) ^ (y) ^ (z))
+#define MD5_I(x, y, z) ((y) ^ ((x) | ~(z)))
+    MD5_STEP(MD5_F, a, b, c, d,  0,  0,  7) MD5_STEP(MD5_F, d, a, b, c,  1,  1, 12)
+    MD5_STEP(MD5_F, c, d, a, b,  2,  2, 17) MD5_STEP(MD5_F, b, c, d, a,  3,  3, 22)
+    MD5_STEP(MD5_F, a, b, c, d,  4,  4,  7) MD5_STEP(MD5_F, d, a, b, c,  5,  5, 12)
+    MD5_STEP(MD5_F, c, d, a, b,  6,  6, 17) MD5_STEP(MD5_F, b, c, d, a,  7,  7, 22)
+    MD5_STEP(MD5_F, a, b, c, d,  8,  8,  7) MD5_STEP(MD5_F, d, a, b, c,  9,  9, 12)
+    MD5_STEP(MD5_F, c, d, a, b, 10, 10, 17) MD5_STEP(MD5_F, b, c, d, a, 11, 11, 22)
+    MD5_STEP(MD5_F, a, b, c, d, 12, 12,  7) MD5_STEP(MD5_F, d, a, b, c, 13, 13, 12)
+    MD5_STEP(MD5_F, c, d, a, b, 14, 14, 17) MD5_STEP(MD5_F, b, c, d, a, 15, 15, 22)
+    MD5_STEP(MD5_G, a, b, c, d, 16,  1,  5) MD5_STEP(MD5_G, d, a, b, c, 17,  6,  9)
+    MD5_STEP(MD5_G, c, d, a, b, 18, 11, 14) MD5_STEP(MD5_G, b, c, d, a, 19,  0, 20)
+    MD5_STEP(MD5_G, a, b, c, d, 20,  5,  5) MD5_STEP(MD5_G, d, a, b, c, 21, 10,  9)
+    MD5_STEP(MD5_G, c, d, a, b, 22, 15, 14) MD5_STEP(MD5_G, b, c, d, a, 23,  4, 20)
+    MD5_STEP(MD5_G, a, b, c, d, 24,  9,  5) MD5_STEP(MD5_G, d, a, b, c, 25, 14,  9)
+    MD5_STEP(MD5_G, c, d, a, b, 26,  3, 14) MD5_STEP(MD5_G, b, c, d, a, 27,  8, 20)
+    MD5_STEP(MD5_G, a, b, c, d, 28, 13,  5) MD5_STEP(MD5_G, d, a, b, c, 29,  2,  9)
+    MD5_STEP(MD5_G, c, d, a, b, 30,  7, 14) MD5_STEP(MD5_G, b, c, d, a, 31, 12, 20)
+    MD5_STEP(MD5_H, a, b, c, d, 32,  5,  4) MD5_STEP(MD5_H, d, a, b, c, 33,  8, 11)
+    MD5_STEP(MD5_H, c, d, a, b, 34, 11, 16) MD5_STEP(MD5_H, b, c, d, a, 35, 14, 23)
+    MD5_STEP(MD5_H, a, b, c, d, 36,  1,  4) MD5_STEP(MD5_H, d, a, b, c, 37,  4, 11)
+    MD5_STEP(MD5_H, c, d, a, b, 38,  7, 16) MD5_STEP(MD5_H, b, c, d, a, 39, 10, 23)
+    MD5_STEP(MD5_H, a, b, c, d, 40, 13,  4) MD5_STEP(MD5_H, d, a, b, c, 41,  0, 11)
+    MD5_STEP(MD5_H, c, d, a, b, 42,  3, 16) MD5_STEP(MD5_H, b, c, d, a, 43,  6, 23)
+    MD5_STEP(MD5_H, a, b, c, d, 44,  9,  4) MD5_STEP(MD5_H, d, a, b, c, 45, 12, 11)
+    MD5_STEP(MD5_H, c, d, a, b, 46, 15, 16) MD5_STEP(MD5_H, b, c, d, a, 47,  2, 23)
+    MD5_STEP(MD5_I, a, b, c, d, 48,  0,  6) MD5_STEP(MD5_I, d, a, b, c, 49,  7, 10)
+    MD5_STEP(MD5_I, c, d, a, b, 50, 14, 15) MD5_STEP(MD5_I, b, c, d, a, 51,  5, 21)
+    MD5_STEP(MD5_I, a, b, c, d, 52, 12,  6) MD5_STEP(MD5_I, d, a, b, c, 53,  3, 10)
+    MD5_STEP(MD5_I, c, d, a, b, 54, 10, 15) MD5_STEP(MD5_I, b, c, d, a, 55,  1, 21)
+    MD5_STEP(MD5_I, a, b, c, d, 56,  8,  6) MD5_STEP(MD5_I, d, a, b, c, 57, 15, 10)
+    MD5_STEP(MD5_I, c, d, a, b, 58,  6, 15) MD5_STEP(MD5_I, b, c, d, a, 59, 13, 21)
+    MD5_STEP(MD5_I, a, b, c, d, 60,  4,  6) MD5_STEP(MD5_I, d, a, b, c, 61, 11, 10)
+    MD5_STEP(MD5_I, c, d, a, b, 62,  2, 15) MD5_STEP(MD5_I, b, c, d, a, 63,  9, 21)
+#undef MD5_STEP
+#undef MD5_F
+#undef MD5_G
+#undef MD5_H
+#undef MD5_I
     state[0] += a; state[1] += b; state[2] += c; state[3] += d;
 }
 

@@ -268,6 +268,9 @@ class StreamDecoder:
         with the verdict raised at exhaustion — the reference's decoder also
         delivers all blocks before the MD5 verdict, stream_decoder.h:797).
 
+        Yielded blocks are read-shared with the MD5 worker thread — treat
+        them as immutable (copy before mutating in place).
+
         Streams the device path can't index (ambiguous index, variable
         blocksize) fall back to their assembled decode and yield one block.
         After exhaustion `self.decode_info` carries the decode_all info
@@ -309,6 +312,14 @@ class StreamDecoder:
         B = 512 if nfr >= 256 else self.batch_frames
         md5 = (MD5Context() if self.check_md5 and si.md5sum != b"\x00" * 16
                else None)
+        # MD5 runs on a single worker thread, in submission order: the
+        # native update releases the GIL, so hashing overlaps the next
+        # batch's fetch and the consumer's writes on multicore hosts
+        # (~20 ms/batch otherwise serial with delivery)
+        md5_pool = md5_fut = None
+        if md5 is not None:
+            from concurrent.futures import ThreadPoolExecutor
+            md5_pool = ThreadPoolExecutor(max_workers=1)
         total_cap = si.total_samples or None
         emitted = 0
         host = None
@@ -316,89 +327,99 @@ class StreamDecoder:
         last_end = self.audio_offset
 
         def clip(block: np.ndarray) -> np.ndarray:
-            nonlocal emitted
+            nonlocal emitted, md5_fut
             if total_cap is not None and emitted + len(block) > total_cap:
                 block = block[: max(total_cap - emitted, 0)]
             emitted += len(block)
             if md5 is not None and len(block):
-                md5.accumulate(block, si.bits_per_sample)
+                md5_fut = md5_pool.submit(md5.accumulate, block,
+                                          si.bits_per_sample)
             return block
 
-        pending = collections.deque()
+        try:
+            pending = collections.deque()
 
-        def submit(s: int) -> None:
-            batch_off = offsets[s:s + B]
-            nb = len(batch_off)
-            if nb < B:
-                batch_off = np.concatenate(
-                    [batch_off, np.repeat(batch_off[-1:], B - nb)])
-            pending.append((s, nb, batch_off,
-                            dec(jwords, jnp.asarray(batch_off * 8))))
+            def submit(s: int) -> None:
+                batch_off = offsets[s:s + B]
+                nb = len(batch_off)
+                if nb < B:
+                    batch_off = np.concatenate(
+                        [batch_off, np.repeat(batch_off[-1:], B - nb)])
+                pending.append((s, nb, batch_off,
+                                dec(jwords, jnp.asarray(batch_off * 8))))
 
-        starts = list(range(0, nfr, B))
-        for s in starts[:lookahead]:
-            submit(s)
-        next_i = min(lookahead, len(starts))
-        while pending:
-            s, nb, batch_off, (pcm, ends, meta) = pending.popleft()
-            if next_i < len(starts):
-                submit(starts[next_i])
-                next_i += 1
-            pcm = np.asarray(pcm)[:nb].astype(np.int32, copy=False)
-            ends_np = np.asarray(ends)[:nb] // 8
-            ovf = np.asarray(meta["unary_overflow"])[:nb]
-            if ovf.any():
-                # unary runs beyond the decoder's bit window (pathological
-                # but legal streams): those frames re-decode on the host.
-                # np.asarray on a device array is a read-only view — copy
-                # before writing into it
-                if not pcm.flags.writeable:
-                    pcm = pcm.copy()
-                if host is None:
-                    host = hd.HostDecoder(self.data_bytes, check_md5=False)
-                for i in np.flatnonzero(ovf):
-                    try:
-                        fpcm, fi = host.decode_frame_at(int(batch_off[i]))
-                    except (hd.DecodeError, EOFError, ValueError, KeyError) as e:
+            starts = list(range(0, nfr, B))
+            for s in starts[:lookahead]:
+                submit(s)
+            next_i = min(lookahead, len(starts))
+            while pending:
+                s, nb, batch_off, (pcm, ends, meta) = pending.popleft()
+                if next_i < len(starts):
+                    submit(starts[next_i])
+                    next_i += 1
+                pcm = np.asarray(pcm)[:nb].astype(np.int32, copy=False)
+                ends_np = np.asarray(ends)[:nb] // 8
+                ovf = np.asarray(meta["unary_overflow"])[:nb]
+                if ovf.any():
+                    # unary runs beyond the decoder's bit window (pathological
+                    # but legal streams): those frames re-decode on the host.
+                    # np.asarray on a device array is a read-only view — copy
+                    # before writing into it
+                    if not pcm.flags.writeable:
+                        pcm = pcm.copy()
+                    if host is None:
+                        host = hd.HostDecoder(self.data_bytes, check_md5=False)
+                    for i in np.flatnonzero(ovf):
+                        try:
+                            fpcm, fi = host.decode_frame_at(int(batch_off[i]))
+                        except (hd.DecodeError, EOFError, ValueError, KeyError) as e:
+                            raise hd.DecodeError(
+                                f"at byte {int(batch_off[i])}: {e}") from e
+                        pcm[i] = fpcm.reshape(pcm[i].shape)
+                        ends_np[i] = fi.offset + fi.size
+                # frame-length sanity: frame k must end at or before frame k+1's
+                # start (checked batch-locally against the global index)
+                ks = np.arange(s, s + nb)
+                lim = np.where(ks < nfr - 1, offsets[np.minimum(ks + 1, nfr - 1)],
+                               len(self.d))
+                if np.any(ends_np > lim):
+                    raise StreamDecodeError("frame length overrun — corrupt stream?")
+                if check_crc:
+                    bad = self._check_crc16(offsets[s:s + nb], ends_np)
+                    if len(bad):
                         raise hd.DecodeError(
-                            f"at byte {int(batch_off[i])}: {e}") from e
-                    pcm[i] = fpcm.reshape(pcm[i].shape)
-                    ends_np[i] = fi.offset + fi.size
-            # frame-length sanity: frame k must end at or before frame k+1's
-            # start (checked batch-locally against the global index)
-            ks = np.arange(s, s + nb)
-            lim = np.where(ks < nfr - 1, offsets[np.minimum(ks + 1, nfr - 1)],
-                           len(self.d))
-            if np.any(ends_np > lim):
-                raise StreamDecodeError("frame length overrun — corrupt stream?")
-            if check_crc:
-                bad = self._check_crc16(offsets[s:s + nb], ends_np)
-                if len(bad):
-                    raise hd.DecodeError(
-                        "frame CRC-16 mismatch in frame(s) "
-                        f"{(s + bad)[:5].tolist()}")
-            last_end = int(ends_np[-1])
-            block = clip(pcm.reshape(-1, si.channels))
-            if len(block):
-                yield block
-        # the final partial frame (not in the index) decodes on the host
-        if last_end < len(self.d) - 2:
-            host = hd.HostDecoder(self.data_bytes, check_md5=False)
-            try:
-                tail_pcm, _fi = host.decode_frame_at(last_end)
-            except hd.CrcMismatchError as e:
-                raise hd.DecodeError(f"at byte {last_end}: {e}") from e
-            except (hd.DecodeError, EOFError):
-                tail_pcm = None  # trailing garbage/padding
-            if tail_pcm is not None:
-                frames += 1
-                block = clip(tail_pcm)
+                            "frame CRC-16 mismatch in frame(s) "
+                            f"{(s + bad)[:5].tolist()}")
+                last_end = int(ends_np[-1])
+                block = clip(pcm.reshape(-1, si.channels))
                 if len(block):
                     yield block
-        if md5 is not None and md5.digest() != si.md5sum:
-            raise hd.DecodeError("MD5 signature mismatch")
-        self.decode_info = dict(frames=frames, path="device",
-                                errors=self.errors)
+            # the final partial frame (not in the index) decodes on the host
+            if last_end < len(self.d) - 2:
+                host = hd.HostDecoder(self.data_bytes, check_md5=False)
+                try:
+                    tail_pcm, _fi = host.decode_frame_at(last_end)
+                except hd.CrcMismatchError as e:
+                    raise hd.DecodeError(f"at byte {last_end}: {e}") from e
+                except (hd.DecodeError, EOFError):
+                    tail_pcm = None  # trailing garbage/padding
+                if tail_pcm is not None:
+                    frames += 1
+                    block = clip(tail_pcm)
+                    if len(block):
+                        yield block
+            if md5 is not None:
+                if md5_fut is not None:
+                    md5_fut.result()  # barrier: all ordered updates done
+                md5_pool.shutdown()
+                if md5.digest() != si.md5sum:
+                    raise hd.DecodeError("MD5 signature mismatch")
+            self.decode_info = dict(frames=frames, path="device",
+                                    errors=self.errors)
+        finally:
+            if md5_pool is not None:
+                md5_pool.shutdown(wait=False)  # idempotent; frees the worker
+                # when the consumer abandons the generator mid-stream
 
     def decode_all(self, check_crc: bool = True) -> tuple[np.ndarray, dict]:
         si = self.streaminfo

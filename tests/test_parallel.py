@@ -89,3 +89,38 @@ class TestShardedDecode:
         from flac_tpu.decode.stream import StreamDecodeError
         with pytest.raises((DecodeError, StreamDecodeError)):
             decode_corpus_sharded(bytes(data), mesh, frames_per_device=2)
+
+
+class TestCollectiveAudit:
+    """The scaling-efficiency argument (BASELINE.json: >=80% from 1 chip to
+    N>=2 hosts) rests on per-step collective volume being O(mesh) bytes,
+    independent of batch and blocksize. Pin that property in the compiled
+    HLO the mesh actually runs (tools/collective_audit.py)."""
+
+    def test_encode_collectives_are_bounded(self, mesh):
+        from tools.collective_audit import audit_encode_step
+
+        colls, _flops = audit_encode_step(mesh, frames_per_device=2,
+                                          blocksize=BS)
+        total = sum(c["bytes"] for c in colls)
+        # 3 scalar reductions + the two-level prefix-sum gather (+ whatever
+        # small fusions XLA makes of them): a generous budget is mesh-size
+        # KB-scale; the real payload is ~hundreds of bytes
+        assert colls, "expected STREAMINFO/prefix-sum collectives"
+        assert total <= 64 * mesh.size * 8, (total, colls)
+        assert len(colls) <= 12, colls
+
+    def test_encode_collectives_do_not_grow_with_batch(self, mesh):
+        from tools.collective_audit import audit_encode_step
+
+        small, _ = audit_encode_step(mesh, frames_per_device=2, blocksize=BS)
+        big, _ = audit_encode_step(mesh, frames_per_device=8, blocksize=BS)
+        # 4x the frames per device must not change a single payload size
+        assert sorted(c["bytes"] for c in small) == \
+               sorted(c["bytes"] for c in big)
+
+    def test_decode_has_no_collectives(self, mesh):
+        from tools.collective_audit import audit_decode_step
+
+        colls = audit_decode_step(mesh, frames_per_device=2, blocksize=BS)
+        assert colls == [], colls

@@ -595,55 +595,45 @@ def _copy_modtime(src: str, dst: str) -> None:
         pass
 
 
-def _build_metadata(o: Options, buf: AudioBuffer, total: int, kind: str,
-                    fm=None):
-    from flac_tpu.grabbag import (
-        cuesheet_parse,
-        picture_from_specification,
-        seektable_from_specification,
-    )
-    from flac_tpu.metadata import (
-        Application,
-        Padding,
-        SeekTable,
-        VorbisComment,
-    )
+# space --replay-gain reserves inside PADDING for the tags added after the
+# encode (GRABBAG__REPLAYGAIN_MAX_TAG_SPACE_REQUIRED, grabbag/replaygain.c:54)
+_RG_MAX_TAG_SPACE = 190
 
-    blocks = []
-    tags = list(o.tags)
-    if buf.channel_mask:
-        # WAVEFORMATEXTENSIBLE inputs carry their speaker mask through a
-        # vorbis tag so decode can rebuild the same fmt chunk
-        # (flac__utils_set_channel_mask_tag, utils.c:279-297; replaces any
-        # user-supplied copy of the tag)
-        tags = [t for t in tags if not t.upper().startswith(
-            "WAVEFORMATEXTENSIBLE_CHANNEL_MASK=")]
-        tags.append(f"WAVEFORMATEXTENSIBLE_CHANNEL_MASK=0x{buf.channel_mask:04X}")
-    if tags:
-        blocks.append(VorbisComment(vendor_string="", comments=tags))
-    cuesheet = None
-    if o.cuesheet_file:
-        with open(o.cuesheet_file, encoding="utf-8") as f:
-            text = f.read()
-        is_cdda = buf.sample_rate == 44100
-        cuesheet = cuesheet_parse(text, buf.sample_rate, is_cdda, total)
-        blocks.append(cuesheet)
-    for spec in o.picture_specs:
-        blocks.append(picture_from_specification(spec))
-    seekpoints = None
-    if o.seektable_spec is None:
-        # default: one seekpoint every 10 seconds (the flac CLI default -S 10s)
-        spec = "10s"
-    else:
-        spec = o.seektable_spec
+
+def _warn(o: Options, msg: str) -> None:
+    """Reference warning semantics: printed at normal verbosity, fatal under
+    -w/--warnings-as-errors (encode.c treat_warnings_as_errors checks)."""
+    o.say(1, msg)
+    if o.warnings_as_errors:
+        raise CLIError("treating warning as error (-w)")
+
+
+def _parse_cuesheet_opt(o: Options, buf: AudioBuffer, total: int):
+    from flac_tpu.grabbag import cuesheet_parse
+
+    if not o.cuesheet_file:
+        return None
+    with open(o.cuesheet_file, encoding="utf-8") as f:
+        text = f.read()
+    # CDDA = mono/stereo 16-bit 44.1kHz (encode.c:1745)
+    is_cdda = (buf.channels in (1, 2) and buf.bits_per_sample == 16
+               and buf.sample_rate == 44100)
+    return cuesheet_parse(text, buf.sample_rate, is_cdda, total)
+
+
+def _seek_template_points(spec: str, total: int, sample_rate: int, cuesheet,
+                          cued: bool):
+    """Seek-table template from an -S spec plus the cuesheet's track-index
+    points (convert_to_seek_table_template, encode.c:2214-2228;
+    --no-cued-seekpoints disables the latter)."""
+    from flac_tpu.grabbag import seektable_from_specification
+    from flac_tpu.grabbag.seektable import PLACEHOLDER
+    from flac_tpu.metadata import SeekPoint
+
     points = []
     if spec:
-        points, _ = seektable_from_specification(spec, total, buf.sample_rate)
-    if cuesheet is not None and o.cued_seekpoints:
-        # one seekpoint per cuesheet track index, then template-sort/compact
-        # (encode.c:2214-2228, --no-cued-seekpoints disables)
-        from flac_tpu.grabbag.seektable import PLACEHOLDER
-        from flac_tpu.metadata import SeekPoint
+        points, _ = seektable_from_specification(spec, total, sample_rate)
+    if cuesheet is not None and cued:
         for tr in cuesheet.tracks:
             for ix in tr.indices:
                 points.append(SeekPoint(tr.offset + ix.offset, 0, 0))
@@ -652,23 +642,199 @@ def _build_metadata(o: Options, buf: AudioBuffer, total: int, kind: str,
         nplace = sum(1 for p in points if p.sample_number == PLACEHOLDER)
         points = ([SeekPoint(s, 0, 0) for s in real]
                   + [SeekPoint(PLACEHOLDER, 0, 0)] * nplace)
+    return points
+
+
+def _default_padding(o: Options, total: int, sample_rate: int) -> int:
+    # FLAC_ENCODE__DEFAULT_PADDING, x8 for inputs over 20 minutes
+    # (encode.c:121,1986)
+    return 8192 if total // max(sample_rate, 1) < 20 * 60 else 8192 * 8
+
+
+def _mask_tag(tags: list[str], channel_mask: int) -> list[str]:
+    """Replace/append the WAVEFORMATEXTENSIBLE_CHANNEL_MASK tag
+    (flac__utils_set_channel_mask_tag, utils.c:279-297)."""
+    tags = [t for t in tags if not t.upper().startswith(
+        "WAVEFORMATEXTENSIBLE_CHANNEL_MASK=")]
+    tags.append(f"WAVEFORMATEXTENSIBLE_CHANNEL_MASK=0x{channel_mask:04X}")
+    return tags
+
+
+def _build_metadata(o: Options, buf: AudioBuffer, total: int, kind: str,
+                    fm=None):
+    """Metadata for a non-FLAC input, in the reference's emission order:
+    SEEKTABLE, CUESHEET, VORBIS_COMMENT (always present), PICTUREs, foreign
+    APPLICATION blocks, PADDING (encode.c:2010-2048 static_metadata_append
+    sequence)."""
+    from flac_tpu.grabbag import picture_from_specification
+    from flac_tpu.metadata import Application, Padding, SeekTable, VorbisComment
+
+    blocks = []
+    cuesheet = _parse_cuesheet_opt(o, buf, total)
+    spec = "10s" if o.seektable_spec is None else o.seektable_spec
+    points = _seek_template_points(spec, total, buf.sample_rate, cuesheet,
+                                   o.cued_seekpoints)
     if points:
         # the StreamEncoder adopts a user-supplied SEEKTABLE and fills it
         # in during writes, so don't also pass a seekpoints list
         blocks.append(SeekTable(points=points))
+    if cuesheet is not None:
+        blocks.append(cuesheet)
+    tags = list(o.tags)
+    if buf.channel_mask:
+        # WAVEFORMATEXTENSIBLE inputs carry their speaker mask through a
+        # vorbis tag so decode can rebuild the same fmt chunk
+        tags = _mask_tag(tags, buf.channel_mask)
+    # the reference CLI always supplies a VORBIS_COMMENT, even with no tags
+    # (encode.c:2026); the encoder stamps the vendor string
+    blocks.append(VorbisComment(vendor_string="", comments=tags))
+    for spec_ in o.picture_specs:
+        blocks.append(picture_from_specification(spec_))
     if fm is not None:
         # one APPLICATION block per stored container chunk, in file order
         # (foreign_metadata.c read_from_*_; encode.c:2029-2040 reserves the
         # space, flac__foreign_metadata_write_to_flac fills it)
         for chunk_bytes in fm.blocks:
             blocks.append(Application(app_id=fm.app_id, data=chunk_bytes))
-    if o.padding is None:
-        # FLAC_ENCODE__DEFAULT_PADDING (encode.c:121,1986)
-        pad = 8192 if total // max(buf.sample_rate, 1) < 20 * 60 else 8192 * 8
+    if o.padding is None or o.padding > 0:
+        pad = o.padding if o.padding else _default_padding(o, total,
+                                                           buf.sample_rate)
+        pad += _RG_MAX_TAG_SPACE if o.replay_gain else 0
         blocks.append(Padding(length=pad))
-    elif o.padding > 0:
-        blocks.append(Padding(length=o.padding))
-    return blocks, seekpoints, cuesheet
+    return blocks, None, cuesheet
+
+
+def _build_metadata_from_flac(o: Options, buf: AudioBuffer, total: int,
+                              input_blocks: list, inbase: str):
+    """flac-to-flac (and Ogg-FLAC-to-flac) re-encode: the input FLAC's
+    metadata is the basis for the output's (encode.c:1783-2009, the
+    test_flac.sh:1176-1240 case00a-04e semantics):
+
+    - --picture blocks are appended after the input's blocks;
+    - VORBIS_COMMENT: the input's is kept unless -T tags were given (replaced
+      with a warning, propagating any channel-mask tag) or absent (a new
+      block is created); new blocks are prepended;
+    - CUESHEET: --cuesheet replaces with a warning; an existing cuesheet is
+      kept only while the encoded length still matches its lead-out offset;
+    - SEEKTABLE: dropped when any -S was given or the encoded length changes;
+      a new table is prepended for -S specs, or for the default spec when
+      none survived (-S- suppresses);
+    - PADDING: all input PADDING blocks aggregate into one at the end (sum of
+      lengths); -P overrides the size; --no-padding drops padding entirely.
+
+    New blocks are prepended right after STREAMINFO in reverse (VC, then
+    CUESHEET, then SEEKTABLE), so a fully rebuilt header reads SEEKTABLE,
+    CUESHEET, VORBIS_COMMENT — the same order the from-scratch path emits.
+    """
+    from flac_tpu.grabbag import picture_from_specification
+    from flac_tpu.metadata import (
+        CueSheet,
+        Padding,
+        SeekTable,
+        StreamInfo,
+        VorbisComment,
+    )
+
+    input_si = next(b for b in input_blocks if isinstance(b, StreamInfo))
+    blocks = [b for b in input_blocks if not isinstance(b, StreamInfo)]
+
+    # pictures: simply appended (encode.c:1788-1801)
+    for spec_ in o.picture_specs:
+        blocks.append(picture_from_specification(spec_))
+
+    # VORBIS_COMMENT (encode.c:1803-1846)
+    tags = list(o.tags)
+    channel_mask = buf.channel_mask or 0
+    vc_found = False
+    kept = []
+    for b in blocks:
+        if isinstance(b, VorbisComment):
+            vc_found = True
+            if tags:
+                m = b.find_entry("WAVEFORMATEXTENSIBLE_CHANNEL_MASK")
+                if m:
+                    try:
+                        channel_mask = int(m, 16)
+                    except ValueError:
+                        pass
+                _warn(o, f"{inbase}: WARNING, replacing tags from input FLAC "
+                         "file with those given on the command-line")
+                continue
+        kept.append(b)
+    blocks = kept
+    new_vc = None
+    if not vc_found or tags:
+        if channel_mask:
+            tags = _mask_tag(tags, channel_mask)
+        new_vc = VorbisComment(vendor_string="", comments=tags)
+
+    # CUESHEET (encode.c:1848-1905)
+    cuesheet = _parse_cuesheet_opt(o, buf, total)
+    kept = []
+    for b in blocks:
+        if isinstance(b, CueSheet):
+            if cuesheet is not None:
+                _warn(o, f"{inbase}: WARNING, replacing cuesheet in input "
+                         "FLAC file with the one given on the command-line")
+                continue
+            if not b.tracks or total != b.tracks[-1].offset:
+                _warn(o, f"{inbase}: WARNING, lead-out offset of cuesheet in "
+                         "input FLAC file does not match input length, "
+                         "dropping existing cuesheet...")
+                continue
+        kept.append(b)
+    blocks = kept
+
+    # SEEKTABLE (encode.c:1907-1964); requested: -1 = no -S given,
+    # 0 = -S- (--no-seektable), 1 = one or more -S specs
+    requested = (-1 if o.seektable_spec is None
+                 else (0 if o.seektable_spec == "" else 1))
+    existing_seektable = False
+    kept = []
+    for b in blocks:
+        if isinstance(b, SeekTable):
+            if total != input_si.total_samples or requested >= 0:
+                if requested > 0:
+                    _warn(o, f"{inbase}: WARNING, replacing seektable in "
+                             "input FLAC file with the one given on the "
+                             "command-line")
+                elif requested < 0:
+                    _warn(o, f"{inbase}: WARNING, can't use existing "
+                             "seektable in input FLAC since the input size "
+                             "is changing or unknown, dropping existing "
+                             "SEEKTABLE block...")
+                # -S- deletes silently
+                continue
+            existing_seektable = True
+        kept.append(b)
+    blocks = kept
+    new_st = None
+    if requested > 0 or (requested < 0 and not existing_seektable):
+        spec = o.seektable_spec if requested > 0 else "10s"
+        points = _seek_template_points(spec, total, buf.sample_rate, cuesheet,
+                                       o.cued_seekpoints)
+        if points:
+            new_st = SeekTable(points=points)
+
+    # PADDING: aggregate existing into one trailing block (encode.c:1966-2003)
+    pad = -1
+    kept = []
+    for b in blocks:
+        if isinstance(b, Padding):
+            pad = max(pad, 0) + b.length
+            continue
+        kept.append(b)
+    blocks = kept
+    if o.padding is not None and o.padding > 0:
+        pad = o.padding
+    if pad < 0:
+        pad = _default_padding(o, total, buf.sample_rate)
+    if pad > 0 and o.replay_gain:
+        pad += _RG_MAX_TAG_SPACE
+
+    head = [b for b in (new_st, cuesheet, new_vc) if b is not None]
+    tail = [Padding(length=pad)] if (o.padding != 0 and pad > 0) else []
+    return head + blocks + tail, None, cuesheet
 
 
 def encode_one(path: str, o: Options, is_last: bool = True) -> int:
@@ -717,7 +883,21 @@ def encode_one(path: str, o: Options, is_last: bool = True) -> int:
             o.align_reservoir = sig[len(sig) - rem:] if rem else None
             if rem:
                 sig = sig[: len(sig) - rem]
-    blocks, seekpoints, _ = _build_metadata(o, buf, len(sig), kind, fm)
+    if kind in ("flac", "ogg"):
+        # re-encode: the input FLAC's own metadata is the basis
+        from flac_tpu.metadata import parse_metadata
+        from flac_tpu.metadata.iterators import _find_stream_start
+
+        if kind == "ogg":
+            from flac_tpu.ogg import flac_stream_from_ogg
+            native = flac_stream_from_ogg(bytes(raw_data))
+        else:
+            native = bytes(raw_data)
+        in_blocks, _ = parse_metadata(native, _find_stream_start(native) + 4)
+        blocks, seekpoints, _ = _build_metadata_from_flac(
+            o, buf, len(sig), in_blocks, os.path.basename(path))
+    else:
+        blocks, seekpoints, _ = _build_metadata(o, buf, len(sig), kind, fm)
 
     overrides: dict = {}
     if o.mid_side is not None:

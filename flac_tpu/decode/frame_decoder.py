@@ -299,10 +299,12 @@ def _use_narrow_scan(geom: DecoderGeometry) -> bool:
     Gated at bps <= 26 so verbatim/escaped field widths stay <= 31 bits and
     the dynamic Rice guard (q*2^k < 2^30) reroutes only genuine outliers.
 
-    "auto" resolves to narrow on CPU (measured 2.5x on the full decode:
+    "auto" resolves to narrow everywhere: measured 2.5x on CPU (full decode
     83 -> 33 ms/batch, from the one-slide-per-sample structure alone) and
-    to wide on TPU until the narrow kernel is measured on the chip; the
-    FLAC_TPU_SCAN env var overrides both."""
+    1.30x/1.65x on the TPU chip at -5/-8 (bench.py scan race, 2026-08-18:
+    narrow 103.9/80.7 vs wide 79.6/49.0 Msamples/s — the int64->int32
+    emulation win stacks on the op-count win). The FLAC_TPU_SCAN env var
+    overrides."""
     if geom.bits_per_sample > 26:
         return False
     if geom.scan_impl == "narrow":
@@ -314,14 +316,7 @@ def _use_narrow_scan(geom: DecoderGeometry) -> bool:
     forced = os.environ.get("FLAC_TPU_SCAN")
     if forced in ("narrow", "wide"):
         return forced == "narrow"
-    try:
-        import jax as _jax
-
-        dd = _jax.config.jax_default_device
-        platform = getattr(dd, "platform", None) or _jax.default_backend()
-    except Exception:  # pragma: no cover
-        return False
-    return platform == "cpu"
+    return True
 
 
 @functools.lru_cache(maxsize=64)

@@ -13,7 +13,7 @@ The per-frame compute runs in batches through the jitted frame encoder
 from __future__ import annotations
 
 import io
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import numpy as np
 
@@ -99,6 +99,11 @@ class StreamEncoder:
         for b in user_blocks:
             if isinstance(b, SeekTable) and self._seektable is None:
                 self._seektable = b
+            if isinstance(b, VorbisComment):
+                # the stream encoder stamps its own vendor string on every
+                # VORBIS_COMMENT it writes, whatever the object carried
+                # (FLAC__add_metadata_block, stream_encoder_framing.c:53-68)
+                b = replace(b, vendor_string=VENDOR_STRING)
             blocks.append(b)
         # libFLAC always emits a VORBIS_COMMENT with its vendor string when the
         # caller didn't supply one (init_stream_internal_, stream_encoder.c:1068)

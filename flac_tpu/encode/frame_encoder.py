@@ -588,12 +588,18 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
             ecm = (c_rice2.astype(jnp.int64) << 4) | c_po.astype(jnp.int64)
             values_blocks.append(jnp.where(is_coded, ecm, 0)[:, None])
             nbits_blocks.append(jnp.where(is_coded, 6, 0)[:, None].astype(jnp.int32))
-            # per-sample interleaved (param?, codeword) fields
+            # Rice partition-parameter + codeword fields. Partition boundaries
+            # can only fall on leaf starts (ps = T>>po is a multiple of
+            # leafsz = T>>max_po), so parameter fields get one static slot per
+            # LEAF, not per sample: [leaf0 param, leaf0 codewords..., leaf1
+            # param, ...] — this halves the packer's field count vs the older
+            # per-sample (param, codeword) interleave.
             ps = (jnp.int64(T) >> c_po.astype(jnp.int64))         # [B]
-            # partition size T>>po need not be a power of two (e.g. 1152)
-            at_boundary = (tvec[None, :] % ps[:, None]) == 0
             plen = jnp.where(c_rice2, 5, 4).astype(jnp.int32)
             leafsz = max(T >> max_po, 1)
+            leaf_start = jnp.arange(nleaf, dtype=jnp.int64) * leafsz  # [nleaf]
+            # partition size T>>po need not be a power of two (e.g. 1152)
+            at_boundary = (leaf_start[None, :] % ps[:, None]) == 0   # [B, nleaf]
 
             def leaf_to_samples(leaf_arr):
                 if leafsz * nleaf == T:
@@ -605,24 +611,27 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
                     leaf_arr, leaf_of_t[None, :].repeat(B, 0), axis=1).astype(jnp.int64)
 
             k_t = leaf_to_samples(c_params)
+            k_leaf = c_params.astype(jnp.int64)                      # [B, nleaf]
             param_n = jnp.where(is_coded[:, None] & at_boundary, plen[:, None], 0)
-            param_v = jnp.where(param_n > 0, k_t, 0)
+            param_v = jnp.where(param_n > 0, k_leaf, 0)
             cw_n_coded = ((c_folded >> k_t) + 1 + k_t)
             cw_v_coded = (jnp.int64(1) << k_t) | (c_folded & ((jnp.int64(1) << k_t) - 1))
             if cfg.do_escape_coding:
                 # escaped partitions: the boundary field becomes
                 # <escape param><5-bit raw length>, and every codeword is the
                 # residual at the raw width (stream_encoder_framing.c:478-537)
+                raw_leaf = g(sel_raws).astype(jnp.int64)             # [B, nleaf]
                 raw_t = leaf_to_samples(g(sel_raws))
                 esc_t = raw_t > 0
                 pesc_c = jnp.where(
                     c_rice2, C.ENTROPY_CODING_METHOD_PARTITIONED_RICE2_ESCAPE_PARAMETER,
                     C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_ESCAPE_PARAMETER
                 ).astype(jnp.int64)[:, None]
+                esc_leaf = raw_leaf > 0
                 param_n = jnp.where(param_n > 0,
-                                    jnp.where(esc_t, param_n + 5, param_n), 0)
+                                    jnp.where(esc_leaf, param_n + 5, param_n), 0)
                 param_v = jnp.where(param_n > 0,
-                                    jnp.where(esc_t, (pesc_c << 5) | raw_t, k_t), 0)
+                                    jnp.where(esc_leaf, (pesc_c << 5) | raw_leaf, k_leaf), 0)
                 cw_n_coded = jnp.where(esc_t, raw_t, cw_n_coded)
                 cw_v_coded = jnp.where(esc_t,
                                        mask_to(c_res.astype(jnp.int64), raw_t),
@@ -632,10 +641,21 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
                              jnp.where(is_verb[:, None], c_bps[:, None], 0))
             cw_v = jnp.where(is_coded[:, None] & valid_res, cw_v_coded,
                              jnp.where(is_verb[:, None], mask_to(c_x, c_bps[:, None]), 0))
-            inter_v = jnp.stack([param_v, cw_v], axis=-1).reshape(B, 2 * T)
-            inter_n = jnp.stack([param_n, cw_n], axis=-1).reshape(B, 2 * T)
+            if leafsz * nleaf == T:
+                inter_v = jnp.concatenate(
+                    [param_v[:, :, None], cw_v.reshape(B, nleaf, leafsz)],
+                    axis=2).reshape(B, nleaf * (1 + leafsz))
+                inter_n = jnp.concatenate(
+                    [param_n[:, :, None].astype(jnp.int32),
+                     cw_n.reshape(B, nleaf, leafsz).astype(jnp.int32)],
+                    axis=2).reshape(B, nleaf * (1 + leafsz))
+            else:  # legal blocksizes always factor as nleaf*leafsz
+                # (max_rice_partition_order_from_blocksize strips exactly the
+                # blocksize's trailing-zero bits, format.c:528)
+                raise AssertionError(
+                    f"blocksize {T} does not factor into {nleaf} leaves")
             values_blocks.append(inter_v)
-            nbits_blocks.append(inter_n.astype(jnp.int32))
+            nbits_blocks.append(inter_n)
 
         # tail: byte-align pad + CRC-16
         values = jnp.concatenate(values_blocks, axis=1)

@@ -8,10 +8,15 @@ import jax.numpy as jnp
 
 
 def bitlen64(x: jnp.ndarray) -> jnp.ndarray:
-    """Number of bits needed for x >= 0 (0 -> 0), exact, integer-only."""
-    x = x.astype(jnp.int64)
+    """Number of bits needed for x >= 0 (0 -> 0), exact, integer-only.
+    int32 inputs stay int32 (TPU emulates int64 as int32 pairs)."""
+    if x.dtype in (jnp.int32, jnp.uint32):
+        shifts = (16, 8, 4, 2, 1)
+    else:
+        x = x.astype(jnp.int64)
+        shifts = (32, 16, 8, 4, 2, 1)
     n = jnp.zeros(x.shape, jnp.int32)
-    for s in (32, 16, 8, 4, 2, 1):
+    for s in shifts:
         m = x >> s
         c = m > 0
         n = n + jnp.where(c, s, 0)

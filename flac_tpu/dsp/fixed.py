@@ -73,18 +73,21 @@ def fixed_residuals_all_orders(x: jnp.ndarray) -> jnp.ndarray:
     (FLAC__fixed_compute_residual, fixed.c:352.)
     """
     T = x.shape[-1]
-    x64 = x.astype(jnp.int64)
+    # int32 throughout: the reference computes these residuals in FLAC__int32
+    # (fixed.c:352), and mod-2^32 add/mul make stepwise int32 wraparound
+    # identical to int64-then-truncate — while halving the op width on TPU
+    x32 = x.astype(jnp.int32)
     outs = []
     t = jnp.arange(T)
     for o in range(MAX_FIXED_ORDER + 1):
-        acc = jnp.zeros_like(x64)
+        acc = jnp.zeros_like(x32)
         for j in range(o + 1):
             c = int(_STENCILS[o, j])
-            shifted = jnp.roll(x64, j, axis=-1)  # x[t-j]; wrapped region masked below
+            shifted = jnp.roll(x32, j, axis=-1)  # x[t-j]; wrapped region masked below
             acc = acc + c * shifted
         acc = jnp.where(t >= o, acc, 0)
         outs.append(acc)
-    return jnp.stack(outs, axis=-2).astype(jnp.int32)
+    return jnp.stack(outs, axis=-2)
 
 
 def fixed_restore(residual: jnp.ndarray, warmup: jnp.ndarray, order: int) -> jnp.ndarray:

@@ -163,23 +163,31 @@ def quantize_coefficients(lp_coeff: jnp.ndarray, order: jnp.ndarray, precision: 
 
 
 def lpc_residual(x: jnp.ndarray, qlp: jnp.ndarray, order: jnp.ndarray,
-                 shift: jnp.ndarray, max_order: int) -> jnp.ndarray:
+                 shift: jnp.ndarray, max_order: int,
+                 narrow: bool = False) -> jnp.ndarray:
     """residual[t] = x[t] - (sum_{j=1..order} qlp[j-1] * x[t-j] >> shift).
 
     x: [..., T] int32; qlp: [..., max_order]; order/shift: [...].
     int64 accumulation covers both the reference's 32-bit and _wide paths
     exactly (lpc.c:265,531). Entries t < order are zeroed (warmup region).
+
+    narrow=True keeps the accumulator in int32 — exact whenever
+    bps + qlp precision + ilog2(order) <= 32, the same test the reference
+    uses to pick its 32-bit datapath (stream_encoder.c:3592); the caller
+    asserts this statically (the qlp-precision clamp enforces it for
+    <=16-bit streams). Halves the op width on TPU.
     """
     T = x.shape[-1]
-    x64 = x.astype(jnp.int64)
-    acc = jnp.zeros_like(x64)
+    dt = jnp.int32 if narrow else jnp.int64
+    xw = x.astype(dt)
+    acc = jnp.zeros_like(xw)
     for j in range(1, max_order + 1):
-        coef = qlp[..., j - 1].astype(jnp.int64)
-        lag = jnp.roll(x64, j, axis=-1)  # x[t-j]; wrapped t<order region masked below
+        coef = qlp[..., j - 1].astype(dt)
+        lag = jnp.roll(xw, j, axis=-1)  # x[t-j]; wrapped t<order region masked below
         acc = acc + jnp.where((j <= order)[..., None], coef[..., None] * lag, 0)
-    pred = jax.lax.shift_right_arithmetic(acc, shift[..., None].astype(jnp.int64))
+    pred = jax.lax.shift_right_arithmetic(acc, shift[..., None].astype(dt))
     t = jnp.arange(T)
-    res = jnp.where(t >= order[..., None], x64 - pred, 0)
+    res = jnp.where(t >= order[..., None], xw - pred, 0)
     return res.astype(jnp.int32)
 
 

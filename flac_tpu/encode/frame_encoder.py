@@ -321,8 +321,9 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
             rbps_fixed = dsp_fixed.residual_bits_per_sample(errs, T - C.MAX_FIXED_ORDER)
             res_all = dsp_fixed.fixed_residuals_all_orders(x)    # [B, K, 5, T]
             orders5 = jnp.arange(5, dtype=jnp.int32)
-            folded = rice.fold_residual(res_all)
-            absres = jnp.abs(res_all.astype(jnp.int64))
+            folded = rice.fold_residual(res_all, narrow=not use_wide)
+            absres = (jnp.abs(res_all) if not use_wide
+                      else jnp.abs(res_all.astype(jnp.int64)))
             tvec = jnp.arange(T)
             validt = tvec[None, None, None, :] >= orders5[None, None, :, None]
             absres = jnp.where(validt, absres, 0)
@@ -386,10 +387,20 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
                 coeffs, (orders - 1)[..., None], axis=-2)        # [B,K,A,O,maxord]
             qlp, shift, qok = dsp_lpc.quantize_coefficients(
                 coeff_rows, orders, prec, maxord)
+            # int32 accumulation is exact iff bps + precision + ilog2(order)
+            # <= 32 — the reference's own 32-bit-datapath test
+            # (stream_encoder.c:3592). Static worst case: side channel bps,
+            # unclamped precision, max order.
+            narrow_lpc = (not use_wide
+                          and (bps_stream + (1 if use_ms else 0)
+                               + cfg.qlp_coeff_precision
+                               + (maxord.bit_length() - 1) <= 32))
             res = dsp_lpc.lpc_residual(
-                x[:, :, None, None, :], qlp, orders, shift, maxord)  # [B,K,A,O,T]
-            folded = rice.fold_residual(res)
-            absres = jnp.abs(res.astype(jnp.int64))
+                x[:, :, None, None, :], qlp, orders, shift, maxord,
+                narrow=narrow_lpc)                                   # [B,K,A,O,T]
+            folded = rice.fold_residual(res, narrow=not use_wide)
+            absres = (jnp.abs(res) if not use_wide
+                      else jnp.abs(res.astype(jnp.int64)))
             tvec = jnp.arange(T)
             validt = tvec >= orders[..., None]
             absres = jnp.where(validt, absres, 0)

@@ -41,8 +41,17 @@ class RiceSearchResult(NamedTuple):
 from flac_tpu.dsp.bitmath import bitlen64 as _bitlen  # exact, TPU-legal
 
 
-def fold_residual(res: jnp.ndarray) -> jnp.ndarray:
-    """Sign-fold to unsigned: (v<<1)^(v>>31) (bitwriter.c:561), as int64."""
+def fold_residual(res: jnp.ndarray, narrow: bool = False) -> jnp.ndarray:
+    """Sign-fold to unsigned: (v<<1)^(v>>31) (bitwriter.c:561).
+
+    narrow=True keeps the math in int32 (values wrap exactly like the
+    reference's FLAC__uint32 fold) — valid whenever the residual datapath is
+    32-bit (the encoder's !use_wide case); TPU emulates int64 as int32 pairs,
+    so the narrow form halves the traffic of this [..., T]-sized op.
+    """
+    if narrow:
+        r = res.astype(jnp.int32)
+        return (r << 1) ^ (r >> 31)
     r = res.astype(jnp.int64)
     return jnp.where(r >= 0, r << 1, (-r << 1) - 1)
 
@@ -70,7 +79,15 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
     batch = folded.shape[:-1]
     nleaf = 1 << max_po
     ps_leaf = T >> max_po
-    leaf_sums = absres.reshape(batch + (nleaf, ps_leaf)).sum(axis=-1)
+    # absres/folded may arrive as int32 (the encoder's !use_wide datapath) —
+    # keep the [..., T]-sized math in the input dtype and widen only the
+    # reductions (int64 ops are emulated as int32 pairs on TPU). Narrow
+    # folded values are uint32 BIT PATTERNS (the reference's FLAC__uint32
+    # fold, bitwriter.c:561): shift/compare them as unsigned.
+    narrow = folded.dtype == jnp.int32
+    fu = folded.astype(jnp.uint32) if narrow else folded
+    leaf_sums = absres.reshape(batch + (nleaf, ps_leaf)).sum(
+        axis=-1, dtype=jnp.int64)
 
     sums_by_po: dict[int, jnp.ndarray] = {max_po: leaf_sums}
     for po in range(max_po - 1, -1, -1):
@@ -82,7 +99,7 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
         # (stream_encoder.c:3867-3880); raw width = ilog2(rmax)+2, min 1.
         # max-reduce instead of OR: bitlen(max) == bitlen(OR) for non-negative
         # values, and only the bit length feeds the raw width.
-        leaf_rmax = (folded >> 1).reshape(batch + (nleaf, ps_leaf)).max(axis=-1)
+        leaf_rmax = (fu >> 1).reshape(batch + (nleaf, ps_leaf)).max(axis=-1)
         rmax_by_po: dict[int, jnp.ndarray] = {max_po: leaf_rmax}
         for po in range(max_po - 1, -1, -1):
             prev = rmax_by_po[po + 1]
@@ -152,11 +169,11 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
     # exact bits for the chosen parameters: sum over valid samples of
     # (u >> k) + 1 + k (or the raw width in escaped partitions), plus the
     # per-partition parameter fields (+5-bit raw length per escaped one)
-    k_samp = jnp.repeat(params_leaf, ps_leaf, axis=-1).astype(jnp.int64)  # [..., T]
+    k_samp = jnp.repeat(params_leaf, ps_leaf, axis=-1).astype(fu.dtype)  # [..., T]
     valid = t >= order[..., None]
-    cw_bits = jnp.where(valid, (folded >> k_samp) + 1 + k_samp, 0)
+    cw_bits = jnp.where(valid, (fu >> k_samp) + 1 + k_samp, 0)
     if do_escape:
-        raw_samp = jnp.repeat(raw_leaf, ps_leaf, axis=-1).astype(jnp.int64)
+        raw_samp = jnp.repeat(raw_leaf, ps_leaf, axis=-1).astype(fu.dtype)
         cw_bits = jnp.where(valid & (raw_samp > 0), raw_samp, cw_bits)
     is_rice2 = jnp.any(params_leaf >= C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_ESCAPE_PARAMETER,
                        axis=-1)
@@ -166,7 +183,7 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
     nparts_chosen = (jnp.int64(1) << best_po.astype(jnp.int64))
     exact = (C.ENTROPY_CODING_METHOD_TYPE_LEN
              + C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_ORDER_LEN
-             + plen * nparts_chosen + cw_bits.sum(axis=-1))
+             + plen * nparts_chosen + cw_bits.sum(axis=-1, dtype=jnp.int64))
     if do_escape:
         # 5-bit raw-length field per escaped partition; escaped leaves all
         # carry the same raw width, so count partitions via leaves >> (Δpo)

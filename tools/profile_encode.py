@@ -80,9 +80,36 @@ def main() -> None:
     finally:
         packer.pack_fields_pallas, packer.pack_fields = real_pallas, real_xla
 
+    from flac_tpu import rice as rice_mod
+
+    real_rice = rice_mod.rice_search
+
+    def stub_rice(absres, folded, order, suggested, blocksize, min_po, max_po,
+                  rice_limit, do_escape=False):
+        batch = folded.shape[:-1]
+        nleaf = 1 << max_po
+        z32 = jnp.zeros(batch, jnp.int32)
+        return rice_mod.RiceSearchResult(
+            approx_bits=jnp.zeros(batch, jnp.int64),
+            exact_bits=jnp.zeros(batch, jnp.int64),
+            partition_order=z32, params_leaf=jnp.zeros(batch + (nleaf,), jnp.int32),
+            is_rice2=jnp.zeros(batch, bool),
+            raw_bits_leaf=jnp.zeros(batch + (nleaf,), jnp.int32))
+
+    packer.pack_fields_pallas = stub_pack
+    packer.pack_fields = stub_pack
+    rice_mod.rice_search = stub_rice
+    try:
+        enc_stub2 = build_frame_encoder(cfg, packer_impl="stub-rice")
+        t_norice = timeit("encode (pack+rice stubbed)", enc_stub2)
+    finally:
+        packer.pack_fields_pallas, packer.pack_fields = real_pallas, real_xla
+        rice_mod.rice_search = real_rice
+
     print(f"\ncompaction share      {1e3 * (t_full - t_words):8.2f} ms")
     print(f"assembly+pack share   {1e3 * (t_words - t_nopack):8.2f} ms")
-    print(f"model-search et al.   {1e3 * t_nopack:8.2f} ms")
+    print(f"rice-search share     {1e3 * (t_nopack - t_norice):8.2f} ms")
+    print(f"dsp+selection share   {1e3 * t_norice:8.2f} ms")
 
 
 if __name__ == "__main__":

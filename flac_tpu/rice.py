@@ -106,9 +106,16 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
             rmax_by_po[po] = jnp.maximum(prev[..., 0::2], prev[..., 1::2])
 
     t = jnp.arange(T)
-    totals = []
-    params_leaf_by_po = []
-    raws_leaf_by_po = []
+    # Running-min selection across partition orders (descending, so strict-<
+    # keeps the higher order on ties, matching find_best_partition_order_'s
+    # `<` sweep, stream_encoder.c:3726). An earlier stack-over-po + argmin +
+    # take_along_axis formulation materialized [..., n_po, nleaf] tensors
+    # whose dynamic-update-slice/copy chains cost ~10 ms/batch on TPU in
+    # small-trailing-dim layouts; the where-chain fuses instead.
+    best_total = None
+    best_po = None
+    params_leaf = None
+    raw_leaf = None
     po_list = list(range(max_po, min_po - 1, -1))  # descending: ties keep higher po
     for po in po_list:
         nparts = 1 << po
@@ -140,7 +147,7 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
             part_bits = jnp.where(use_esc, esc_bits, part_bits)
             k = jnp.where(use_esc, 0, k)  # stored parameter is 0 when escaped
             raw_p = jnp.where(use_esc, rawb, 0).astype(jnp.int32)
-            raws_leaf_by_po.append(jnp.repeat(raw_p, nleaf // nparts, axis=-1))
+            raw_po = jnp.repeat(raw_p, nleaf // nparts, axis=-1)
         total = (C.ENTROPY_CODING_METHOD_TYPE_LEN
                  + C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_ORDER_LEN
                  + part_bits.sum(axis=-1))
@@ -148,22 +155,22 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
         # (format.c:548; set_partitioned_rice_ returns false, :4010)
         invalid = (ps <= order) if po > 0 else (order >= T)
         total = jnp.where(invalid, jnp.int64(2**62), total)
-        totals.append(total)
-        params_leaf_by_po.append(jnp.repeat(k, nleaf // nparts, axis=-1))
+        k_po = jnp.repeat(k, nleaf // nparts, axis=-1)
+        if best_total is None:
+            best_total, params_leaf = total, k_po
+            best_po = jnp.full(total.shape, po, jnp.int32)
+            if do_escape:
+                raw_leaf = raw_po
+        else:
+            better = total < best_total
+            best_total = jnp.where(better, total, best_total)
+            best_po = jnp.where(better, po, best_po)
+            params_leaf = jnp.where(better[..., None], k_po, params_leaf)
+            if do_escape:
+                raw_leaf = jnp.where(better[..., None], raw_po, raw_leaf)
 
-    totals_arr = jnp.stack(totals, axis=-1)              # [..., n_po] descending po
-    best_idx = jnp.argmin(totals_arr, axis=-1)           # first (=highest po) on ties
-    approx_bits = jnp.take_along_axis(totals_arr, best_idx[..., None], axis=-1)[..., 0]
-    po_arr = jnp.asarray(po_list, jnp.int32)
-    best_po = po_arr[best_idx]
-    params_stack = jnp.stack(params_leaf_by_po, axis=-2)  # [..., n_po, nleaf]
-    params_leaf = jnp.take_along_axis(
-        params_stack, best_idx[..., None, None], axis=-2)[..., 0, :]
-    if do_escape:
-        raws_stack = jnp.stack(raws_leaf_by_po, axis=-2)
-        raw_leaf = jnp.take_along_axis(
-            raws_stack, best_idx[..., None, None], axis=-2)[..., 0, :]
-    else:
+    approx_bits = best_total
+    if raw_leaf is None:
         raw_leaf = jnp.zeros_like(params_leaf)
 
     # exact bits for the chosen parameters: sum over valid samples of

@@ -27,6 +27,40 @@ def _encode(sig, dense: bool, seekpoints=None, verify=False) -> bytes:
     return out.getvalue()
 
 
+class TestCompaction:
+    def test_random_frame_sizes_vs_numpy_concat(self):
+        """compact_stream_bytes == numpy byte concat for random frame byte
+        counts covering every start phase (mod 4), tiny frames, and
+        full-buffer frames."""
+        import jax.numpy as jnp
+
+        from flac_tpu.encode.packer import compact_stream_bytes
+
+        rng = np.random.default_rng(123)
+        B, W = 37, 24
+        for trial in range(4):
+            nbytes = rng.integers(11, 4 * W + 1, B)
+            if trial == 2:
+                nbytes[::5] = 11          # lots of tiny frames
+            if trial == 3:
+                nbytes[:] = 4 * W         # full frames, phase 0 everywhere
+            words = np.zeros((B, W), np.uint32)
+            payloads = []
+            for i, n in enumerate(nbytes):
+                raw = rng.integers(0, 256, n, dtype=np.uint8)
+                payloads.append(raw.tobytes())
+                padded = np.zeros(4 * W, np.uint8)
+                padded[:n] = raw
+                words[i] = padded.view(">u4").astype(np.uint32)
+            expect = b"".join(payloads)
+            stream, total = compact_stream_bytes(
+                jnp.asarray(words.astype(np.int32)),
+                jnp.asarray((nbytes * 8).astype(np.int32)))
+            assert int(total) == len(expect)
+            got = np.asarray(stream)[: int(total)].tobytes()
+            assert got == expect, f"trial {trial}"
+
+
 class TestDensePath:
     def test_byte_identical_to_regular(self):
         sig = make_signal(1024 * 9 + 321, 2, 16, kind="quiet", seed=77)

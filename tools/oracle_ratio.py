@@ -1,0 +1,58 @@
+"""Measure the reference flac binary's compression ratio on the exact bench
+corpus, for the oracle_same_corpus rows in bench.py's output.
+
+The bench corpus (bench.make_corpus) is synthetic CD-audio-like stereo; the
+reference benchmark page's 0.5367 corpus-wide -5 ratio (BASELINE.md) is on
+real music, so it is not comparable to bench.py's ratio rows. This tool
+produces the apples-to-apples number: the reference binary (built by
+tools/build_reference_oracle.sh) encoding the SAME samples at the SAME
+level.
+
+Usage: python tools/oracle_ratio.py [oracle_flac_path]
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+import wave
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    oracle = sys.argv[1] if len(sys.argv) > 1 else "/tmp/flacoracle/flac"
+    if not os.path.exists(oracle):
+        sys.exit(f"oracle binary not found at {oracle}; "
+                 "run tools/build_reference_oracle.sh first")
+    from bench import T, make_corpus
+
+    with tempfile.TemporaryDirectory() as td:
+        # the -5 bench corpus is 6 batches x 512 frames, -8 is 4 x 256,
+        # seeds 7+i (bench.main)
+        for name, batch, nb in [("-5 corpus", 512, 6), ("-8 corpus", 256, 4)]:
+            pcm = np.concatenate([
+                make_corpus(batch * T, seed=7 + i).reshape(-1, 2)
+                for i in range(nb)])
+            wav = os.path.join(td, "c.wav")
+            with wave.open(wav, "wb") as w:
+                w.setnchannels(2)
+                w.setsampwidth(2)
+                w.setframerate(44100)
+                w.writeframes(pcm.astype("<i2").tobytes())
+            raw = pcm.size * 2
+            for lvl in (5, 8):
+                out = os.path.join(td, "c.flac")
+                subprocess.run([oracle, f"-{lvl}", "-f", "-o", out, wav],
+                               capture_output=True, check=True)
+                sz = os.path.getsize(out)
+                print(f"{name} at -{lvl}: oracle ratio {sz / raw:.4f} "
+                      f"({sz} / {raw})")
+
+
+if __name__ == "__main__":
+    main()

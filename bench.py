@@ -57,9 +57,12 @@ def _bucketed_slice(stream, total):
     return stream[:n]
 
 
-def bench_encode(level: int, batch: int, nbatches: int, reps: int):
+def bench_encode(level: int, batch: int, nbatches: int, reps: int,
+                 fetch: bool = True):
     """Timed: device encode of every batch + D2H of the compressed bytes.
-    Returns (msamples_per_s, encode_fn, frame_bytes_for_decode)."""
+    With fetch=False the compressed stream stays device-resident (the chip
+    kernel number, mirroring the decode rows); frame_bytes is then None.
+    Returns (msamples_per_s, frame_bytes_for_decode)."""
     import jax
 
     from flac_tpu.encode.frame_encoder import EncoderConfig, build_frame_encoder_dense
@@ -88,20 +91,24 @@ def bench_encode(level: int, batch: int, nbatches: int, reps: int):
     for _ in range(reps):
         t0 = time.perf_counter()
         pending = [encode(dev_batches[i], fnos[i]) for i in range(nbatches)]
-        # slice each stream to its bucketed size and start all D2H copies
-        # before collecting any — transfers overlap each other and the
-        # later batches' compute
-        slices = []
-        totals = []
-        for s, tot, bits, _ in pending:
-            sl = _bucketed_slice(s, tot)
-            try:
-                sl.copy_to_host_async()
-            except AttributeError:
-                pass
-            slices.append(sl)
-            totals.append(int(tot))
-        got = [np.asarray(sl)[:n] for sl, n in zip(slices, totals)]
+        if fetch:
+            # slice each stream to its bucketed size and start all D2H
+            # copies before collecting any — transfers overlap each other
+            # and the later batches' compute
+            slices = []
+            totals = []
+            for s, tot, bits, _ in pending:
+                sl = _bucketed_slice(s, tot)
+                try:
+                    sl.copy_to_host_async()
+                except AttributeError:
+                    pass
+                slices.append(sl)
+                totals.append(int(tot))
+            got = [np.asarray(sl)[:n] for sl, n in zip(slices, totals)]
+        else:
+            jax.block_until_ready([p[0] for p in pending])
+            got = None
         dt = time.perf_counter() - t0
         if dt < best:
             best = dt
@@ -241,6 +248,11 @@ def main() -> None:
 
     enc5, frames5 = bench_encode(5, b5, n5, reps)
     enc8, frames8 = bench_encode(8, b8, n8, reps)
+    # chip-kernel encode numbers (stream stays device-resident), mirroring
+    # the decode rows: the delivered rows above are bounded by this dev
+    # environment's tunneled D2H link, not the chip
+    enc5_kernel, _ = bench_encode(5, b5, n5, reps, fetch=False)
+    enc8_kernel, _ = bench_encode(8, b8, n8, reps, fetch=False)
     # compressed-size ratio vs raw 16-bit PCM, comparable to the reference
     # benchmark page's "avg ratio" column (53.67% at -5, BASELINE.md)
     ratio5 = sum(len(b) for b in frames5) / (b5 * n5 * T * 2 * 2)
@@ -312,6 +324,16 @@ def main() -> None:
                           "vs_baseline": round(dec5 / BASELINE_DEC, 3)},
             "encode_-8": {"value": round(enc8, 3),
                           "vs_baseline": round(enc8 / BASELINE_ENC, 3)},
+            "encode_-5_kernel": {
+                "value": round(enc5_kernel, 3),
+                "vs_baseline": round(enc5_kernel / BASELINE_ENC, 3),
+                "note": "device compute only (compressed stream stays on "
+                        "the chip); the headline encode rows include a "
+                        "full D2H of the compressed bytes over this "
+                        "environment's tunneled link"},
+            "encode_-8_kernel": {
+                "value": round(enc8_kernel, 3),
+                "vs_baseline": round(enc8_kernel / BASELINE_ENC, 3)},
             "decode_-8": {"value": round(dec8, 3),
                           "vs_baseline": round(dec8 / BASELINE_DEC, 3)},
             "compression_ratio": {
@@ -319,10 +341,10 @@ def main() -> None:
                 "oracle_same_corpus": {"-5": 0.6028, "-8": 0.5986},
                 "note": "frame bytes / raw 16-bit PCM bytes on the bench "
                         "corpus. oracle_same_corpus = the reference flac "
-                        "binary's ratio on the IDENTICAL corpus (measured "
-                        "via tools/oracle_ratio.py) — this encoder beats "
-                        "the reference at both levels. The reference "
-                        "page's corpus-wide -5 ratio of 0.5367 "
+                        "binary's ratio on the identical samples at the "
+                        "TPU bench geometry (tools/oracle_ratio.py) — "
+                        "this encoder matches -5 and beats -8. The "
+                        "reference page's corpus-wide -5 ratio of 0.5367 "
                         "(BASELINE.md) is on different (real-music) audio"},
             "decode_-5_delivered": {
                 "value": round(dec5_delivered, 3),

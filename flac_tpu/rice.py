@@ -112,6 +112,22 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
     # take_along_axis formulation materialized [..., n_po, nleaf] tensors
     # whose dynamic-update-slice/copy chains cost ~10 ms/batch on TPU in
     # small-trailing-dim layouts; the where-chain fuses instead.
+    #
+    # Layout: the per-partition tensors are tiny in their trailing dim
+    # (nparts <= 2^max_po, typically 32) but huge in the flattened batch
+    # (B*K*O ~ 10k); XLA:TPU has been observed assigning the 128-lane axis
+    # to a 4-wide batch dim for them (32x lane padding). The loop therefore
+    # runs PARTITION-MAJOR, [nparts, N]: the flattened batch occupies the
+    # lane axis at full width, and nparts sits in sublanes.
+    N = 1
+    for d in batch:
+        N *= d
+    order_f = order.reshape(N)
+    sugg_f = suggested.reshape(N)
+
+    def pm(a):  # [..., nparts] -> [nparts, N] (partition-major)
+        return jnp.moveaxis(a.reshape((N,) + a.shape[len(batch):]), 0, -1)
+
     best_total = None
     best_po = None
     params_leaf = None
@@ -120,11 +136,11 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
     for po in po_list:
         nparts = 1 << po
         ps = T >> po
-        sums = sums_by_po[po]
-        n_p = jnp.full(batch + (nparts,), ps, jnp.int64)
-        n_p = n_p.at[..., 0].add(-order.astype(jnp.int64))
+        sums = pm(sums_by_po[po])                        # [nparts, N]
+        n_p = jnp.full((nparts, N), ps, jnp.int64)
+        n_p = n_p.at[0].add(-order_f.astype(jnp.int64))
         if po == 0:
-            k = jnp.broadcast_to(suggested[..., None], batch + (1,)).astype(jnp.int32)
+            k = sugg_f[None, :].astype(jnp.int32)
         else:
             # smallest k with n*2^k >= sum  <=>  bitlen(ceil(sum/n) - 1)
             q = (sums + n_p - 1) // jnp.maximum(n_p, 1)
@@ -138,8 +154,8 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
         if do_escape:
             # escape estimate: 5-bit RICE2 param + 5-bit raw length + raw
             # payload (stream_encoder.c:4012-4021); escape wins ties (<=)
-            rawb = jnp.where(rmax_by_po[po] > 0,
-                             _bitlen(rmax_by_po[po]) + 1, 1).astype(jnp.int64)
+            rmax = pm(rmax_by_po[po])
+            rawb = jnp.where(rmax > 0, _bitlen(rmax) + 1, 1).astype(jnp.int64)
             esc_bits = (C.ENTROPY_CODING_METHOD_PARTITIONED_RICE2_PARAMETER_LEN
                         + C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_RAW_LEN
                         + rawb * n_p)
@@ -147,15 +163,15 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
             part_bits = jnp.where(use_esc, esc_bits, part_bits)
             k = jnp.where(use_esc, 0, k)  # stored parameter is 0 when escaped
             raw_p = jnp.where(use_esc, rawb, 0).astype(jnp.int32)
-            raw_po = jnp.repeat(raw_p, nleaf // nparts, axis=-1)
+            raw_po = jnp.repeat(raw_p, nleaf // nparts, axis=0)
         total = (C.ENTROPY_CODING_METHOD_TYPE_LEN
                  + C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_ORDER_LEN
-                 + part_bits.sum(axis=-1))
+                 + part_bits.sum(axis=0))                # [N]
         # partition order invalid when a full partition is <= predictor order
         # (format.c:548; set_partitioned_rice_ returns false, :4010)
-        invalid = (ps <= order) if po > 0 else (order >= T)
+        invalid = (ps <= order_f) if po > 0 else (order_f >= T)
         total = jnp.where(invalid, jnp.int64(2**62), total)
-        k_po = jnp.repeat(k, nleaf // nparts, axis=-1)
+        k_po = jnp.repeat(k, nleaf // nparts, axis=0)    # [nleaf, N]
         if best_total is None:
             best_total, params_leaf = total, k_po
             best_po = jnp.full(total.shape, po, jnp.int32)
@@ -165,9 +181,16 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
             better = total < best_total
             best_total = jnp.where(better, total, best_total)
             best_po = jnp.where(better, po, best_po)
-            params_leaf = jnp.where(better[..., None], k_po, params_leaf)
+            params_leaf = jnp.where(better[None, :], k_po, params_leaf)
             if do_escape:
-                raw_leaf = jnp.where(better[..., None], raw_po, raw_leaf)
+                raw_leaf = jnp.where(better[None, :], raw_po, raw_leaf)
+
+    # back to batch-major [..., nleaf] / [...]
+    best_total = best_total.reshape(batch)
+    best_po = best_po.reshape(batch)
+    params_leaf = jnp.moveaxis(params_leaf, 0, -1).reshape(batch + (nleaf,))
+    if raw_leaf is not None:
+        raw_leaf = jnp.moveaxis(raw_leaf, 0, -1).reshape(batch + (nleaf,))
 
     approx_bits = best_total
     if raw_leaf is None:

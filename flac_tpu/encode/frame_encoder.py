@@ -442,21 +442,25 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
         best_bits_approx = jnp.where(fallback, pre + jnp.int64(T) * bps_eff, best_bits_approx)
 
         n_models = len(model_res)
+        midx = best_idx - 2  # < 0 for verbatim/constant (no model selected)
 
         def gather_meta(key, default, dtype, extra_shape=()):
-            stacked = []
-            for m in model_meta:
+            # where-chain instead of stack+take_along_axis: XLA fuses the M
+            # selects into one pass over the M inputs, instead of
+            # materializing a [B,K,M,...] stack (for the residuals that
+            # stack is B*K*M*T int32 — hundreds of MB per batch) and then
+            # gathering from it. Non-model slots (midx < 0) get `default`;
+            # every consumer masks those out with is_model/type tests.
+            out = jnp.full((B, K) + extra_shape, default, dtype)
+            sel_shape = (B, K) + (1,) * len(extra_shape)
+            for i, m in enumerate(model_meta):
                 v = m[key]
                 if v is None:
-                    v = jnp.full((B, K) + extra_shape, default, dtype)
-                stacked.append(jnp.broadcast_to(
-                    jnp.asarray(v, dtype), (B, K) + extra_shape))
-            if not stacked:
-                return jnp.full((B, K) + extra_shape, default, dtype)
-            arr = jnp.stack(stacked, axis=2)                     # [B,K,M,...]
-            midx = jnp.clip(best_idx - 2, 0, n_models - 1)
-            idx = midx.reshape(B, K, 1, *([1] * len(extra_shape)))
-            return jnp.take_along_axis(arr, idx, axis=2)[:, :, 0]
+                    continue
+                out = jnp.where((midx == i).reshape(sel_shape),
+                                jnp.broadcast_to(jnp.asarray(v, dtype),
+                                                 (B, K) + extra_shape), out)
+            return out
 
         is_model = best_idx >= 2
         sel_type = jnp.where(
@@ -473,12 +477,10 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
         sel_qlp = gather_meta("qlp", 0, jnp.int32, (maxord,) if maxord else (1,))
         sel_prec = gather_meta("prec", 0, jnp.int32)
         sel_shift = gather_meta("shift", 0, jnp.int32)
-        if n_models:
-            res_stack = jnp.stack(model_res, axis=2)             # [B,K,M,T]
-            midx = jnp.clip(best_idx - 2, 0, n_models - 1)
-            sel_res = jnp.take_along_axis(res_stack, midx[..., None, None], axis=2)[:, :, 0]
-        else:
-            sel_res = jnp.zeros((B, K, T), jnp.int32)
+        sel_res = jnp.zeros((B, K, T),
+                            model_res[0].dtype if model_res else jnp.int32)
+        for i, r in enumerate(model_res):
+            sel_res = jnp.where((midx == i)[..., None], r, sel_res)
 
         # exact subframe bit count for the chosen candidate (layout)
         hdr_extra = jnp.where(sel_type == C.SUBFRAME_TYPE_LPC, 9, 0).astype(jnp.int64)

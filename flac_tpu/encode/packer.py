@@ -312,15 +312,16 @@ _PACK_SUB = 128      # fields per in-kernel guarded subchunk
 _PACK_ROWS = 8       # frames per block (TPU block row-divisibility)
 
 
-def _pack_tile_bounds(we: jnp.ndarray, maxwords: int):
+def _pack_tile_bounds(we: jnp.ndarray, maxwords: int, tile: int | None = None):
     """Per-(frame, tile) relevant-field range [lo, hi) in FIELD index units,
     via an unrolled coarse binary search (NT probes per frame). The ranges
     only SKIP work — the kernel masks by word index, so any superset stays
     correct."""
+    tile = _PACK_TILE if tile is None else tile
     B, F = we.shape
-    NT = -(-maxwords // _PACK_TILE)
-    probes_lo = (jnp.arange(NT, dtype=jnp.int32) * _PACK_TILE) - 1
-    probes_hi = probes_lo + _PACK_TILE + 1
+    NT = -(-maxwords // tile)
+    probes_lo = (jnp.arange(NT, dtype=jnp.int32) * tile) - 1
+    probes_hi = probes_lo + tile + 1
 
     def count_le(wef, probes):
         lo = jnp.zeros(probes.shape, jnp.int32)
@@ -434,6 +435,22 @@ def _pack_words_pallas(c0: jnp.ndarray, c1: jnp.ndarray, we: jnp.ndarray,
         words = call(*args)
     return words[:B, :maxwords]
 
+
+# Pack-kernel design notes (measured on TPU v5e, xplane device time, B=512
+# frames of T=4096 stereo at level 5 — see docs/perf.md "pack kernel
+# experiments"):
+# * The v1 kernel below measures ~12 ms and is VPU-bound on the one-hot
+#   compare-select-add; tile/chunk/subchunk geometry changes (word tiles
+#   128-512, chunks 512-4096, data-dependent chunk index maps that fetch
+#   only in-range field chunks) all land within +-10% or regress.
+# * An MXU factorization (one-hot split into word-group x word-position
+#   outer products evaluated as [SUB,8]^T x [SUB,160] bf16 matmuls with
+#   7-bit limbs, f32 accumulation) was 3-8x SLOWER: the dots are too small
+#   for the MXU and Mosaic's lowering of many tiny guarded matmuls
+#   dominates. It also miscompiled (wrong words) on real hardware while
+#   interpret mode was exact.
+# Conclusion: v1 is at algorithmic speed-of-light for this formulation;
+# further encode gains must come from outside the packer.
 
 def pack_fields_pallas(values: jnp.ndarray, nbits: jnp.ndarray, maxwords: int,
                        interpret: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -48,13 +48,16 @@ def make_corpus(n_samples: int, seed: int = 7) -> np.ndarray:
 
 
 # D2H slice sizes are bucketed to 1 MiB so the dynamic-slice transfer
-# compiles once per bucket, not once per batch
-BUCKET = 1 << 20
+# compiles once per bucket, not once per batch. The dense stream is uint32
+# words (host-side byte serialization, packer.stream_words_to_bytes).
+BUCKET_WORDS = 1 << 18  # = 1 MiB
 
 
-def _bucketed_slice(stream, total):
-    n = min(((int(total) + BUCKET - 1) // BUCKET) * BUCKET, stream.shape[0])
-    return stream[:n]
+def _bucketed_slice(stream_words, total_bytes):
+    nw = (int(total_bytes) + 3) // 4
+    n = min(((nw + BUCKET_WORDS - 1) // BUCKET_WORDS) * BUCKET_WORDS,
+            stream_words.shape[0])
+    return stream_words[:n]
 
 
 def bench_encode(level: int, batch: int, nbatches: int, reps: int,
@@ -105,7 +108,9 @@ def bench_encode(level: int, batch: int, nbatches: int, reps: int,
                     pass
                 slices.append(sl)
                 totals.append(int(tot))
-            got = [np.asarray(sl)[:n] for sl, n in zip(slices, totals)]
+            from flac_tpu.encode.packer import stream_words_to_bytes
+            got = [stream_words_to_bytes(np.asarray(sl), n)
+                   for sl, n in zip(slices, totals)]
         else:
             jax.block_until_ready([p[0] for p in pending])
             got = None
@@ -187,31 +192,77 @@ def bench_decode(data: bytes, max_lpc_order: int, batch: int, reps: int,
 
 
 def _tpu_reachable(timeout_s: float = 300.0) -> bool:
-    """Probe TPU backend init in a SUBPROCESS with a timeout.
+    """Probe TPU backend init AND a tiny computation in a SUBPROCESS with a
+    timeout.
 
-    The axon TPU plugin's backend init goes through a network tunnel and
-    hangs indefinitely (not errors) when the tunnel is down; jax.devices()
-    in this process would then hang the whole bench. A subprocess probe
-    turns "tunnel down" into a falsy answer so the bench can fall back to
-    CPU with an explanatory note instead of producing no artifact at all.
+    The axon TPU plugin goes through a network tunnel and hangs indefinitely
+    (not errors) when the tunnel is down; jax.devices() in this process
+    would then hang the whole bench. A degraded tunnel has also been
+    observed where backend init succeeds but the first device computation
+    never returns — so the probe must execute one, not just enumerate
+    devices. A falsy answer lets the bench fall back to CPU with an
+    explanatory note instead of producing no artifact at all.
     """
     import subprocess
     import sys
     try:
         r = subprocess.run(
             [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
+             "import jax, jax.numpy as jnp;"
+             "assert jax.devices()[0].platform == 'tpu';"
+             "assert float(jnp.arange(8).sum()) == 28.0;"
+             "print('ok')"],
             capture_output=True, text=True, timeout=timeout_s)
-        return r.returncode == 0 and r.stdout.strip() == "tpu"
+        return r.returncode == 0 and r.stdout.strip() == "ok"
     except subprocess.TimeoutExpired:
         return False
+
+
+def _supervised_main() -> bool:
+    """Run the TPU bench in a child process with a hard timeout.
+
+    A truthy _tpu_reachable() probe does not guarantee the tunnel survives
+    the whole bench: it has been observed dying mid-run, hanging the next
+    device call forever. The child prints the normal JSON line; on
+    timeout/crash the parent falls through to the CPU fallback path so the
+    round always produces an artifact. Returns True if the child emitted
+    the JSON line."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, FLAC_TPU_BENCH_CHILD="1")
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True,
+                           timeout=float(os.environ.get(
+                               "FLAC_TPU_BENCH_TIMEOUT", "2700")))
+    except subprocess.TimeoutExpired:
+        return False
+    line = next((ln for ln in r.stdout.splitlines()
+                 if ln.startswith('{"metric"')), None)
+    if r.returncode == 0 and line:
+        print(line)
+        return True
+    return False
 
 
 def main() -> None:
     import os
 
+    supervise = (os.environ.get("FLAC_TPU_DEVICE") != "cpu"
+                 and not os.environ.get("FLAC_TPU_BENCH_CHILD"))
+    if supervise and _tpu_reachable():
+        if _supervised_main():
+            return
+        # tunnel died mid-bench: force the CPU fallback below
+        os.environ["FLAC_TPU_DEVICE"] = "cpu"
+        os.environ["FLAC_TPU_TUNNEL_DIED"] = "1"
+
     tpu_down = False
-    if os.environ.get("FLAC_TPU_DEVICE") != "cpu" and not _tpu_reachable():
+    if (os.environ.get("FLAC_TPU_TUNNEL_DIED")
+            or (os.environ.get("FLAC_TPU_DEVICE") != "cpu"
+                and not _tpu_reachable())):
         # tunnel down: deregister the not-yet-initialized TPU plugin (its
         # in-process init would hang, not fail) and run the bench on CPU
         tpu_down = True
@@ -309,10 +360,13 @@ def main() -> None:
             "note": "Msamples/s per residual-scan form (docs/perf.md); the "
                     "reported decode rows use each level's winner."}
     if tpu_down:
+        how = ("the tunnel died mid-bench (supervised child timed out)"
+               if os.environ.get("FLAC_TPU_TUNNEL_DIED")
+               else "backend-init/compute probe timed out")
         extra_env["environment"] = (
-            "TPU tunnel unreachable at bench time (backend-init probe timed "
-            "out); numbers below are a 1-core CPU FALLBACK, not the chip. "
-            "TPU-measured numbers are recorded in docs/perf.md.")
+            f"TPU tunnel unreachable at bench time ({how}); numbers below "
+            "are a 1-core CPU FALLBACK, not the chip. TPU-measured numbers "
+            "are recorded in docs/perf.md.")
 
     print(json.dumps({
         "metric": "encode_-5_stereo16_44k1_throughput_per_chip",

@@ -175,13 +175,20 @@ class StreamEncoder:
 
     def _emit_dense(self, stream, total: int, total_bits: np.ndarray,
                     nframes: int, pcm_batch: np.ndarray) -> None:
-        """Emit from the device-compacted byte stream: one device->host
+        """Emit from the device-compacted word stream: one device->host
         transfer of ~the compressed size (bucketed so the dynamic-slice
-        shape compiles once per 1 MiB bucket)."""
+        shape compiles once per 1 MiB bucket); big-endian byte
+        serialization happens host-side at memcpy speed
+        (packer.stream_words_to_bytes)."""
+        from flac_tpu.encode import packer as _packer
+
         lengths = (total_bits + 7) // 8
-        bucket = 1 << 20
-        n_fetch = min(((total + bucket - 1) // bucket) * bucket, stream.shape[0])
-        data = np.asarray(stream[:n_fetch])[:total]
+        total_words = (total + 3) // 4
+        bucket = 1 << 18  # words; = 1 MiB
+        n_fetch = min(((total_words + bucket - 1) // bucket) * bucket,
+                      stream.shape[0])
+        data = _packer.stream_words_to_bytes(np.asarray(stream[:n_fetch]),
+                                             total)
         # frames 0..nframes-1 occupy a contiguous prefix (padded duplicates
         # come after them in frame order)
         want = int(lengths[:nframes].sum())

@@ -331,7 +331,8 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
             sugg = _suggested_param(rbps_fixed, limit)
             rs = rice.rice_search(absres, folded, jnp.broadcast_to(orders5, errs.shape).astype(jnp.int32),
                                   sugg, T, min_po, max_po, limit,
-                                  do_escape=cfg.do_escape_coding)
+                                  do_escape=cfg.do_escape_coding,
+                                  compute_exact=False)
             bits = (pre[..., None] + orders5.astype(jnp.int64) * bps_eff[..., None]
                     + rs.approx_bits)
             if exhaustive:
@@ -349,7 +350,7 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
                     type=C.SUBFRAME_TYPE_FIXED, order=jnp.full((B, K), o, jnp.int32),
                     po=rs.partition_order[..., o], params=rs.params_leaf[..., o, :],
                     raws=rs.raw_bits_leaf[..., o, :],
-                    rice2=rs.is_rice2[..., o], exact=rs.exact_bits[..., o],
+                    rice2=rs.is_rice2[..., o],
                     qlp=None, prec=None, shift=None))
 
         # --- LPC -----------------------------------------------------------
@@ -405,8 +406,10 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
             validt = tvec >= orders[..., None]
             absres = jnp.where(validt, absres, 0)
             folded = jnp.where(validt, folded, 0)
-            rs = rice.rice_search(absres, folded, orders, sugg, T, min_po, max_po,
-                                  limit, do_escape=cfg.do_escape_coding)
+            rs = rice.rice_search(absres, folded, orders, sugg, T, min_po,
+                                  max_po, limit,
+                                  do_escape=cfg.do_escape_coding,
+                                  compute_exact=False)
             bits = (pre[..., None, None] + 9
                     + orders.astype(jnp.int64) * (prec + bps_eff[..., None, None]).astype(jnp.int64)
                     + rs.approx_bits)
@@ -423,7 +426,7 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
                         po=rs.partition_order[:, :, a, oi],
                         params=rs.params_leaf[:, :, a, oi, :],
                         raws=rs.raw_bits_leaf[:, :, a, oi, :],
-                        rice2=rs.is_rice2[:, :, a, oi], exact=rs.exact_bits[:, :, a, oi],
+                        rice2=rs.is_rice2[:, :, a, oi],
                         qlp=qlp[:, :, a, oi, :], prec=prec[:, :, a, oi],
                         shift=shift[:, :, a, oi]))
 
@@ -473,7 +476,6 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
         sel_raws = (gather_meta("raws", 0, jnp.int32, (nleaf,))
                     if cfg.do_escape_coding else None)
         sel_rice2 = is_model & gather_meta("rice2", False, bool)
-        sel_exact_res = gather_meta("exact", 0, jnp.int64)
         sel_qlp = gather_meta("qlp", 0, jnp.int32, (maxord,) if maxord else (1,))
         sel_prec = gather_meta("prec", 0, jnp.int32)
         sel_shift = gather_meta("shift", 0, jnp.int32)
@@ -481,6 +483,15 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
                             model_res[0].dtype if model_res else jnp.int32)
         for i, r in enumerate(model_res):
             sel_res = jnp.where((midx == i)[..., None], r, sel_res)
+
+        # exact residual-coding bits, ONE [B,K,T] pass for the selected
+        # candidate (rice_search skips its per-candidate exact pass, which
+        # was an int64 [B,K,O,T] reduction per model plane)
+        sel_folded = rice.fold_residual(sel_res, narrow=not use_wide)
+        sel_exact_res = rice.rice_exact_bits(
+            sel_folded, sel_params,
+            sel_raws if cfg.do_escape_coding else None,
+            sel_order, sel_po, T, max_po)
 
         # exact subframe bit count for the chosen candidate (layout)
         hdr_extra = jnp.where(sel_type == C.SUBFRAME_TYPE_LPC, 9, 0).astype(jnp.int64)
@@ -738,13 +749,14 @@ def _use_pallas_packer() -> bool:
 @functools.lru_cache(maxsize=64)
 def build_frame_encoder_dense(cfg: EncoderConfig):
     """Like build_frame_encoder, but the packed frames are also compacted
-    into one dense byte stream on device (packer.compact_stream_bytes), so a
+    into one dense word stream on device (packer.compact_stream_words), so a
     host consumer transfers only ~the compressed size instead of the padded
     per-frame word matrix. Returns a jitted fn:
 
         (pcm [B,T,Ch] int — int16 accepted, frame_numbers [B]) ->
-        (stream [B*maxwords*4] uint8 (valid prefix), total_bytes [],
-         total_bits [B], info dict)
+        (stream [B*maxwords] uint32 (valid prefix; serialize with
+         packer.stream_words_to_bytes), total_bytes [], total_bits [B],
+         info dict)
     """
     from flac_tpu.encode import packer as _packer
 
@@ -752,7 +764,7 @@ def build_frame_encoder_dense(cfg: EncoderConfig):
 
     def encode_dense(pcm, frame_numbers):
         words, total_bits, info = encode(pcm, frame_numbers)
-        stream, total = _packer.compact_stream_bytes(words, total_bits)
+        stream, total = _packer.compact_stream_words(words, total_bits)
         return stream, total, total_bits, info
 
     import jax as _jax

@@ -125,15 +125,20 @@ def pack_fields(values: jnp.ndarray, nbits: jnp.ndarray, maxwords: int
     return words.astype(jnp.uint32).astype(jnp.int32), total_bits
 
 
-def compact_stream_bytes(words: jnp.ndarray, total_bits: jnp.ndarray
+def compact_stream_words(words: jnp.ndarray, total_bits: jnp.ndarray
                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Concatenate per-frame packed words into one dense byte stream on
+    """Concatenate per-frame packed words into one dense word stream on
     device, so only the real compressed bytes cross HBM→host (the padded
     [B, maxwords] layout is ~2-3x larger than the stream at typical ratios).
 
     words: [B, W] int32 big-endian words; total_bits: [B]. Frames are
     byte-aligned (the frame tail pads to a byte + CRC-16). Returns
-    (stream [B*W*4] uint8 — valid prefix only, total_bytes scalar int64).
+    (stream [B*W] uint32 — the stream's bytes 4j..4j+3 are word j's
+    big-endian bytes; serialize with stream_words_to_bytes on the host —
+    valid prefix only, total_bytes scalar int64). The uint8 form used to be
+    produced on device, but the u32->u8 bitcast+reshape is a physical
+    relayout that cost ~2 ms/batch of device time; a host-side byteswap of
+    the fetched words is memcpy-speed.
 
     Formulation: every frame is a CONTIGUOUS run in the output, so the
     compaction is B sequential dynamic-update-slice copies of byte-phase-
@@ -187,6 +192,22 @@ def compact_stream_bytes(words: jnp.ndarray, total_bits: jnp.ndarray
     tmask = jnp.where(vtail >= 4, jnp.uint32(0xFFFFFFFF),
                       jnp.where(vtail == 0, jnp.uint32(0), mt_partial))
     out_w = out_w & tmask
+    return out_w, total
+
+
+def stream_words_to_bytes(host_words: np.ndarray, total: int) -> np.ndarray:
+    """Host-side serializer for compact_stream_words output: big-endian
+    word bytes, trimmed to the stream's true byte length."""
+    be = np.ascontiguousarray(host_words, dtype=np.uint32).astype(">u4")
+    return np.frombuffer(be.tobytes(), np.uint8)[:int(total)]
+
+
+def compact_stream_bytes(words: jnp.ndarray, total_bits: jnp.ndarray
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """compact_stream_words + on-device byte serialization (uint8 stream).
+    Kept for callers that want device-resident bytes; the hot path fetches
+    words and serializes on the host (see compact_stream_words)."""
+    out_w, total = compact_stream_words(words, total_bits)
     swapped = (((out_w & 0xFF) << 24) | ((out_w & 0xFF00) << 8)
                | ((out_w >> 8) & 0xFF00) | (out_w >> 24))
     stream = jax.lax.bitcast_convert_type(swapped, jnp.uint8).reshape(-1)

@@ -58,7 +58,8 @@ def fold_residual(res: jnp.ndarray, narrow: bool = False) -> jnp.ndarray:
 
 def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
                 suggested: jnp.ndarray, blocksize: int, min_po: int, max_po: int,
-                rice_limit: int, do_escape: bool = False) -> RiceSearchResult:
+                rice_limit: int, do_escape: bool = False,
+                compute_exact: bool = True) -> RiceSearchResult:
     """Search partition orders [min_po, max_po] for the best Rice coding.
 
     absres: [..., T] int64 |residual| (zeros at t < order) — the reference's
@@ -196,13 +197,45 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
     if raw_leaf is None:
         raw_leaf = jnp.zeros_like(params_leaf)
 
-    # exact bits for the chosen parameters: sum over valid samples of
-    # (u >> k) + 1 + k (or the raw width in escaped partitions), plus the
-    # per-partition parameter fields (+5-bit raw length per escaped one)
+    is_rice2 = jnp.any(params_leaf >= C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_ESCAPE_PARAMETER,
+                       axis=-1)
+    if compute_exact:
+        exact = rice_exact_bits(folded, params_leaf,
+                                raw_leaf if do_escape else None, order,
+                                best_po, blocksize, max_po)
+    else:
+        # the frame encoder computes exact bits post-selection (one [..., T]
+        # pass for the chosen candidate instead of one per candidate)
+        exact = jnp.zeros_like(approx_bits)
+    return RiceSearchResult(approx_bits=approx_bits, exact_bits=exact,
+                            partition_order=best_po, params_leaf=params_leaf,
+                            is_rice2=is_rice2, raw_bits_leaf=raw_leaf)
+
+
+def rice_exact_bits(folded: jnp.ndarray, params_leaf: jnp.ndarray,
+                    raw_leaf: jnp.ndarray | None, order: jnp.ndarray,
+                    partition_order: jnp.ndarray, blocksize: int,
+                    max_po: int) -> jnp.ndarray:
+    """Exact emitted residual-coding bits for given partitioned-Rice
+    parameters: sum over valid samples of (u >> k) + 1 + k (or the raw
+    width in escaped partitions), plus the per-partition parameter fields
+    (+5-bit raw length per escaped one). The packer needs this exact count
+    for its prefix-sum layout.
+
+    folded: [..., T] sign-folded residuals (int32 bit patterns or int64);
+    params_leaf/raw_leaf: [..., 2^max_po] at leaf granularity; order /
+    partition_order: [...]. Returns [...] int64.
+    """
+    T = blocksize
+    nleaf = 1 << max_po
+    ps_leaf = T >> max_po
+    narrow = folded.dtype == jnp.int32
+    fu = folded.astype(jnp.uint32) if narrow else folded
+    t = jnp.arange(T)
     k_samp = jnp.repeat(params_leaf, ps_leaf, axis=-1).astype(fu.dtype)  # [..., T]
     valid = t >= order[..., None]
     cw_bits = jnp.where(valid, (fu >> k_samp) + 1 + k_samp, 0)
-    if do_escape:
+    if raw_leaf is not None:
         raw_samp = jnp.repeat(raw_leaf, ps_leaf, axis=-1).astype(fu.dtype)
         cw_bits = jnp.where(valid & (raw_samp > 0), raw_samp, cw_bits)
     is_rice2 = jnp.any(params_leaf >= C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_ESCAPE_PARAMETER,
@@ -210,16 +243,14 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
     plen = jnp.where(is_rice2,
                      C.ENTROPY_CODING_METHOD_PARTITIONED_RICE2_PARAMETER_LEN,
                      C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_PARAMETER_LEN).astype(jnp.int64)
-    nparts_chosen = (jnp.int64(1) << best_po.astype(jnp.int64))
+    nparts_chosen = (jnp.int64(1) << partition_order.astype(jnp.int64))
     exact = (C.ENTROPY_CODING_METHOD_TYPE_LEN
              + C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_ORDER_LEN
              + plen * nparts_chosen + cw_bits.sum(axis=-1, dtype=jnp.int64))
-    if do_escape:
+    if raw_leaf is not None:
         # 5-bit raw-length field per escaped partition; escaped leaves all
         # carry the same raw width, so count partitions via leaves >> (Δpo)
         n_esc_leaves = jnp.sum((raw_leaf > 0).astype(jnp.int64), axis=-1)
-        n_esc = n_esc_leaves >> (max_po - best_po).astype(jnp.int64)
+        n_esc = n_esc_leaves >> (max_po - partition_order).astype(jnp.int64)
         exact = exact + C.ENTROPY_CODING_METHOD_PARTITIONED_RICE_RAW_LEN * n_esc
-    return RiceSearchResult(approx_bits=approx_bits, exact_bits=exact,
-                            partition_order=best_po, params_leaf=params_leaf,
-                            is_rice2=is_rice2, raw_bits_leaf=raw_leaf)
+    return exact

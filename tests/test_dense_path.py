@@ -58,6 +58,15 @@ class TestCompaction:
                 jnp.asarray((nbytes * 8).astype(np.int32)))
             assert int(total) == len(expect)
             got = np.asarray(stream)[: int(total)].tobytes()
+            # the hot path: device word stream + host-side serialization
+            from flac_tpu.encode.packer import (compact_stream_words,
+                                                stream_words_to_bytes)
+            wstream, wtotal = compact_stream_words(
+                jnp.asarray(words.astype(np.int32)),
+                jnp.asarray((nbytes * 8).astype(np.int32)))
+            assert int(wtotal) == len(expect)
+            assert stream_words_to_bytes(np.asarray(wstream),
+                                         int(wtotal)).tobytes() == expect
             assert got == expect, f"trial {trial}"
 
 

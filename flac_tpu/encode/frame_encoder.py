@@ -708,7 +708,15 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
         use_pallas = (_use_pallas_packer() if packer_impl is None
                       else packer_impl == "pallas")
         if use_pallas:
-            words, total_bits = packer.pack_fields_pallas(values, nbits, maxwords)
+            import os as _os
+            if _os.environ.get("FLAC_TPU_PACK") == "merged":
+                # merged-quad variant: byte-identical, measured within
+                # noise of the banded kernel at level 5 (packer.py notes)
+                words, total_bits = packer.pack_fields_pallas_merged(
+                    values, nbits, maxwords)
+            else:
+                words, total_bits = packer.pack_fields_pallas(
+                    values, nbits, maxwords)
         else:
             words, total_bits = packer.pack_fields(values, nbits, maxwords)
         crc16_val = packer.crc16_from_words(words, total_bits,

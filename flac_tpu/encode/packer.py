@@ -470,8 +470,16 @@ def _pack_words_pallas(c0: jnp.ndarray, c1: jnp.ndarray, we: jnp.ndarray,
 #   for the MXU and Mosaic's lowering of many tiny guarded matmuls
 #   dominates. It also miscompiled (wrong words) on real hardware while
 #   interpret mode was exact.
-# Conclusion: v1 is at algorithmic speed-of-light for this formulation;
-# further encode gains must come from outside the packer.
+# * Pre-merged field quads (pack_fields_pallas_merged below: two pairwise
+#   merge rounds -> F/4 slots x 3 contributions = 0.375x the one-hot
+#   lane-ops, spill arrays gated by a nonzero bitmap) produce byte-identical
+#   streams but measure ~3% SLOWER end-to-end at level 5: the XLA-side merge
+#   prep (2 rounds of int64 shifts, 3 contribution sets, 3 tile-bound
+#   searches) plus two extra pallas launches eat the kernel saving. Kept,
+#   env-selectable (FLAC_TPU_PACK=merged), as the tuning knob for field
+#   distributions with much smaller mean nbits.
+# Conclusion: the banded kernel is at algorithmic speed-of-light for this
+# formulation; further encode gains must come from outside the packer.
 
 def pack_fields_pallas(values: jnp.ndarray, nbits: jnp.ndarray, maxwords: int,
                        interpret: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -486,3 +494,208 @@ def pack_fields_pallas(values: jnp.ndarray, nbits: jnp.ndarray, maxwords: int,
     c1 = ((v >> r) & 0xFFFFFFFF).astype(jnp.uint32)
     words = _pack_words_pallas(c0, c1, we, maxwords, interpret=interpret)
     return words, total_bits
+
+
+# --- merged-field pack: the 0.75x-per-round constant-factor win -------------
+#
+# The banded kernel's cost is (#slots scanned) x (#contributions per slot) x
+# TILE. Merging adjacent fields halves the slot count at 3/2 the per-slot
+# contribution count (a <= 63-significant-bit merged value spans <= 3 words):
+# two merge rounds scan F/4 slots x 3 contributions instead of F x 2 — a
+# 0.375x one-hot workload. Pairs that would exceed 63 significant bits spill
+# the right-hand slot into a side array; spill arrays are almost always
+# all-zero (mean field is ~9 bits) and their kernel passes are skipped at
+# subchunk granularity via a scalar-prefetched nonzero bitmap.
+#
+# Merging rule (uniform for any two slots with end positions e1 < e2):
+#   d = e2 - e1; merged value = v1 << d | v2, end = e2, sig = sig1 + d
+#   fits iff sig1 + d <= 63 (sig1 == 0 -> always fits, merged sig = sig2).
+# Bits the spill slots own lie strictly inside [e1, e2); contributions from
+# different arrays are therefore bit-disjoint and the three word images add
+# exactly.
+
+_MERGE_ROUNDS = 2
+
+
+def _merge_round(v, e, sig):
+    """One pairwise merge round. v/e/sig: [B, F] (F even). Returns
+    (merged (v,e,sig) [B, F/2], spill (v,e,sig) [B, F/2])."""
+    vL, vR = v[:, 0::2], v[:, 1::2]
+    eL, eR = e[:, 0::2], e[:, 1::2]
+    sL, sR = sig[:, 0::2], sig[:, 1::2]
+    d = (eR - eL).astype(jnp.int64)
+    fit = (sL == 0) | ((sL.astype(jnp.int64) + d) <= 63)
+    dc = jnp.clip(d, 0, 63)
+    vM = jnp.where(fit, jnp.where(sL > 0, vL << dc, 0) | vR, vL)
+    eM = jnp.where(fit, eR, eL)
+    sM = jnp.where(fit,
+                   jnp.where(sL > 0, sL + d.astype(sig.dtype), sR), sL)
+    vS = jnp.where(fit, 0, vR)
+    sS = jnp.where(fit, 0, sR)
+    return (vM, eM, sM), (vS, eR, sS)
+
+
+def _contribs3(v, e):
+    """Word contributions of <= 63-sig-bit fields ending at bit e: the low
+    bits in word we, then the next <= 32 in we-1, then the rest in we-2."""
+    we = ((e - 1) >> 5).astype(jnp.int32)
+    r = (e - (we.astype(e.dtype) << 5)).astype(jnp.int64)
+    M = jnp.int64(0xFFFFFFFF)
+    c0 = ((v & M) << (32 - r)) & M
+    v1 = jax.lax.shift_right_logical(v, r)
+    c1 = v1 & M
+    c2 = jax.lax.shift_right_logical(v1, jnp.int64(32)) & M
+    return [c0.astype(jnp.uint32), c1.astype(jnp.uint32),
+            c2.astype(jnp.uint32)], we
+
+
+def pack_fields_pallas_merged(values: jnp.ndarray, nbits: jnp.ndarray,
+                              maxwords: int, interpret: bool = False
+                              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """pack_fields via the banded kernel over pre-merged field quads."""
+    B, F = values.shape
+    ends = jnp.cumsum(nbits, axis=-1)
+    total_bits = ends[..., -1]
+    v = jnp.where(nbits > 0, values, 0).astype(jnp.int64)
+    e = ends.astype(jnp.int64)
+    sig = jnp.minimum(nbits, MAX_SIG_BITS).astype(jnp.int32)
+
+    arrays = []  # (v, e, skippable)
+    for _ in range(_MERGE_ROUNDS):
+        Fk = v.shape[1]
+        if Fk % 2:
+            v = jnp.pad(v, ((0, 0), (0, 1)))
+            e = jnp.pad(e, ((0, 0), (0, 1)), mode="edge")
+            sig = jnp.pad(sig, ((0, 0), (0, 1)))
+        (v, e, sig), (vS, eS, sS) = _merge_round(v, e, sig)
+        arrays.append((vS, eS, True))
+    arrays.append((v, e, False))
+
+    words = None
+    for av, ae, skippable in arrays:
+        cs, we = _contribs3(av, ae)
+        w = _pack_words_pallas_multi(cs, we, maxwords,
+                                     skippable=skippable, interpret=interpret)
+        words = w if words is None else words + w
+    return words.astype(jnp.uint32).astype(jnp.int32), total_bits
+
+
+_PACK_M_CHUNK = 1024
+_PACK_M_SUB = 128
+
+
+def _pack_words_pallas_multi(contribs, we, maxwords: int,
+                             skippable: bool = False,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Banded word fill for fields with len(contribs) word contributions
+    (contrib j lands in word we - j). With skippable=True a scalar-prefetched
+    per-(group, subchunk) nonzero bitmap gates the vector work — used for
+    the spill arrays, which are almost always entirely zero."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ncon = len(contribs)
+    B, F = we.shape
+    CHUNK, SUB, ROWS, TILE = (_PACK_M_CHUNK, _PACK_M_SUB,
+                              _PACK_ROWS, _PACK_TILE)
+    padF = (-F) % CHUNK
+    padB = (-B) % ROWS
+    nz = None
+    if skippable:
+        nz = jnp.any(jnp.stack([c != 0 for c in contribs]), axis=0)
+    if padF or padB:
+        contribs = [jnp.pad(c, ((0, padB), (0, padF))) for c in contribs]
+        we = jnp.pad(we, ((0, padB), (0, padF)),
+                     constant_values=maxwords + 7)
+        if nz is not None:
+            nz = jnp.pad(nz, ((0, padB), (0, padF)))
+    Bp, Fp = B + padB, F + padF
+    nblocks = Fp // CHUNK
+    # probes_hi must reach ncon-1 words past the tile (contrib j of a field
+    # with we just past the tile lands inside it)
+    lo, hi, NT = _pack_tile_bounds(
+        jnp.maximum(we - (ncon - 2), -1) if ncon > 2 else we, maxwords)
+    G = Bp // ROWS
+    lo_g = jnp.min(lo.reshape(G, ROWS, NT), axis=1) // SUB
+    hi_g = -(-jnp.max(hi.reshape(G, ROWS, NT), axis=1) // SUB)
+    # re-derive hi from the UNSHIFTED we for the lo side correctness: use
+    # the shifted-we bounds for hi (covers we up to tile_end + ncon - 1) and
+    # unshifted for lo (fields left of the tile can still reach in only via
+    # larger we, never smaller)
+    if ncon > 2:
+        lo_u, _, _ = _pack_tile_bounds(we, maxwords)
+        lo_g = jnp.min(lo_u.reshape(G, ROWS, NT), axis=1) // SUB
+    nsub = Fp // SUB
+    if nz is not None:
+        nz_sub = jnp.any(nz.reshape(G, ROWS, nsub, SUB), axis=(1, 3))
+        nz_sub = nz_sub.astype(jnp.int32)                      # [G, nsub]
+    Wp = NT * TILE
+    CPS = CHUNK // SUB
+
+    def kern(*refs):
+        if nz is not None:
+            lo_ref, hi_ref, nz_ref, *crefs, we_ref, out_ref = refs
+        else:
+            lo_ref, hi_ref, *crefs, we_ref, out_ref = refs
+            nz_ref = None
+        g = pl.program_id(0)
+        t = pl.program_id(1)
+        c = pl.program_id(2)
+
+        @pl.when(c == 0)
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when((c * CPS < hi_ref[g, t]) & ((c + 1) * CPS > lo_ref[g, t]))
+        def _chunk():
+            base = t * TILE
+            iot = jax.lax.broadcasted_iota(jnp.int32, (SUB, TILE), 1)
+            for s in range(CPS):
+                cs = c * CPS + s
+                cond = (cs >= lo_ref[g, t]) & (cs < hi_ref[g, t])
+                if nz_ref is not None:
+                    cond = cond & (nz_ref[g, cs] != 0)
+
+                @pl.when(cond)
+                def _sub(s=s):
+                    sl = slice(s * SUB, (s + 1) * SUB)
+                    for row in range(ROWS):
+                        lw0 = we_ref[row, sl] - base
+                        acc = out_ref[row, :]
+                        for j, cref in enumerate(crefs):
+                            add = jnp.where((lw0 - j)[:, None] == iot,
+                                            cref[row, sl][:, None], 0)
+                            acc = acc + jnp.sum(add, axis=0, dtype=jnp.int32)
+                        out_ref[row, :] = acc
+
+    field_spec = pl.BlockSpec((ROWS, CHUNK),
+                              lambda g, t, c, *pref: (g, c))
+    nscalar = 3 if nz is not None else 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=nscalar,
+        grid=(G, NT, nblocks),
+        in_specs=[field_spec] * (ncon + 1),
+        out_specs=pl.BlockSpec((ROWS, TILE),
+                               lambda g, t, c, *pref: (g, t)),
+    )
+    try:
+        vma = jax.typeof(we).vma
+    except AttributeError:
+        vma = None
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, Wp), jnp.int32, vma=vma),
+        interpret=interpret,
+    )
+    scalars = [lo_g.astype(jnp.int32), hi_g.astype(jnp.int32)]
+    if nz is not None:
+        scalars.append(nz_sub)
+    args = (*scalars, *[c.astype(jnp.int32) for c in contribs],
+            we.astype(jnp.int32))
+    if jax.config.jax_enable_x64 and not interpret:
+        with jax.enable_x64(False):
+            words = call(*args)
+    else:
+        words = call(*args)
+    return words[:B, :maxwords]

@@ -376,6 +376,26 @@ def parse_args(argv: list[str]) -> Options:
                 o.ogg = False
             elif name in ("no-verify", "no-lax"):
                 setattr(o, "verify" if name == "no-verify" else "lax", False)
+            # remaining negations from the reference option table
+            # (src/flac/main.c:97-222): later flags override earlier ones
+            elif name == "no-decode-through-errors":
+                o.decode_through_errors = False
+            elif name == "no-delete-input-file":
+                o.delete_input = False
+            elif name == "no-force":
+                o.force = False
+            elif name == "no-keep-foreign-metadata":
+                o.keep_foreign = False
+            elif name == "no-replay-gain":
+                o.replay_gain = False
+            elif name == "no-residual-gnuplot":
+                o.residual_gnuplot = False
+            elif name == "no-residual-text":
+                o.residual_text = False
+            elif name == "no-silent":
+                o.verbosity = 2
+            elif name == "no-warnings-as-errors":
+                o.warnings_as_errors = False
             else:
                 raise CLIError(f"unknown option --{name}")
         else:

@@ -323,6 +323,42 @@ class TestMetaflacCLI:
         assert rc == 0 and out_p.read_bytes() == png
 
 
+class TestNegationFlags:
+    """Every boolean long option has a no- negation in the reference table
+    (src/flac/main.c:97-222); later flags override earlier ones."""
+
+    def test_negations_override(self, tmp_path, wav_file):
+        wav, sig = wav_file
+        out = tmp_path / "n.flac"
+        # --force then --no-force: second write must refuse (file exists)
+        assert run_flac("-5", "-f", "-o", str(out), str(wav)) == 0
+        assert run_flac("-5", "--force", "--no-force",
+                        "-o", str(out), str(wav)) == 1
+        # --delete-input-file then --no-delete-input-file: input kept
+        assert run_flac("-5", "--delete-input-file", "--no-delete-input-file",
+                        "-f", "-o", str(out), str(wav)) == 0
+        assert wav.exists()
+
+    def test_negations_parse(self, tmp_path, wav_file):
+        wav, sig = wav_file
+        out = tmp_path / "p.flac"
+        assert run_flac(
+            "-5", "--warnings-as-errors", "--no-warnings-as-errors",
+            "--replay-gain", "--no-replay-gain",
+            "--keep-foreign-metadata", "--no-keep-foreign-metadata",
+            "--silent", "--no-silent", "--totally-silent",
+            "-f", "-o", str(out), str(wav)) == 0
+        wavout = tmp_path / "p.wav"
+        assert run_flac(
+            "-d", "--decode-through-errors", "--no-decode-through-errors",
+            "-f", "-o", str(wavout), str(out)) == 0
+        ana = tmp_path / "p.ana"
+        assert run_flac(
+            "-a", "--residual-text", "--no-residual-text",
+            "--residual-gnuplot", "--no-residual-gnuplot",
+            "-f", "-o", str(ana), str(out)) == 0
+
+
 class TestExtendedFlags:
     """The remaining main.c option-table entries: --ignore-chunk-sizes,
     --sector-align (deprecated), --output-prefix, --preserve-modtime,

@@ -252,17 +252,22 @@ def main() -> None:
 
     supervise = (os.environ.get("FLAC_TPU_DEVICE") != "cpu"
                  and not os.environ.get("FLAC_TPU_BENCH_CHILD"))
-    if supervise and _tpu_reachable():
-        if _supervised_main():
-            return
-        # tunnel died mid-bench: force the CPU fallback below
-        os.environ["FLAC_TPU_DEVICE"] = "cpu"
-        os.environ["FLAC_TPU_TUNNEL_DIED"] = "1"
+    probed_reachable = None  # probe once; each probe can cost its timeout
+    if supervise:
+        probed_reachable = _tpu_reachable()
+        if probed_reachable:
+            if _supervised_main():
+                return
+            # tunnel died mid-bench: force the CPU fallback below
+            os.environ["FLAC_TPU_DEVICE"] = "cpu"
+            os.environ["FLAC_TPU_TUNNEL_DIED"] = "1"
 
     tpu_down = False
     if (os.environ.get("FLAC_TPU_TUNNEL_DIED")
             or (os.environ.get("FLAC_TPU_DEVICE") != "cpu"
-                and not _tpu_reachable())):
+                and not (probed_reachable
+                         if probed_reachable is not None
+                         else _tpu_reachable()))):
         # tunnel down: deregister the not-yet-initialized TPU plugin (its
         # in-process init would hang, not fail) and run the bench on CPU
         tpu_down = True
@@ -392,7 +397,10 @@ def main() -> None:
                           "vs_baseline": round(dec8 / BASELINE_DEC, 3)},
             "compression_ratio": {
                 "-5": round(ratio5, 4), "-8": round(ratio8, 4),
-                "oracle_same_corpus": {"-5": 0.6028, "-8": 0.5986},
+                # measured on the TPU bench geometry (512x6 / 256x4); only
+                # comparable when this run used that geometry
+                **({"oracle_same_corpus": {"-5": 0.6028, "-8": 0.5986}}
+                   if on_tpu else {}),
                 "note": "frame bytes / raw 16-bit PCM bytes on the bench "
                         "corpus. oracle_same_corpus = the reference flac "
                         "binary's ratio on the identical samples at the "

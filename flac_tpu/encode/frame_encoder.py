@@ -226,9 +226,21 @@ def max_frame_bytes(cfg: EncoderConfig, blocksize: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=64)
 def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
                         packer_impl: str | None = None):
+    """Resolve the packer choice (env consulted at BUILD time, so it is part
+    of the cache key — flipping FLAC_TPU_PACK mid-process takes effect on
+    the next build instead of being silently ignored by the lru cache)."""
+    import os as _os
+
+    if packer_impl is None and _os.environ.get("FLAC_TPU_PACK") == "merged":
+        packer_impl = "pallas-merged"
+    return _build_frame_encoder(cfg, blocksize, packer_impl)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
+                         packer_impl: str | None = None):
     """Returns a jitted function encoding a batch of equal-size frames.
 
     `blocksize` overrides cfg.blocksize for the stream's final partial frame;
@@ -706,10 +718,9 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
         # reserved 16-bit field stays zero through packing), ~10x cheaper
         # than the per-field GF(2) reduction — see packer.crc16_from_words
         use_pallas = (_use_pallas_packer() if packer_impl is None
-                      else packer_impl == "pallas")
+                      else packer_impl in ("pallas", "pallas-merged"))
         if use_pallas:
-            import os as _os
-            if _os.environ.get("FLAC_TPU_PACK") == "merged":
+            if packer_impl == "pallas-merged":
                 # merged-quad variant: byte-identical, measured within
                 # noise of the banded kernel at level 5 (packer.py notes)
                 words, total_bits = packer.pack_fields_pallas_merged(

@@ -333,16 +333,17 @@ _PACK_SUB = 128      # fields per in-kernel guarded subchunk
 _PACK_ROWS = 8       # frames per block (TPU block row-divisibility)
 
 
-def _pack_tile_bounds(we: jnp.ndarray, maxwords: int, tile: int | None = None):
+def _pack_tile_bounds(we: jnp.ndarray, maxwords: int, hi_extra: int = 0):
     """Per-(frame, tile) relevant-field range [lo, hi) in FIELD index units,
     via an unrolled coarse binary search (NT probes per frame). The ranges
     only SKIP work — the kernel masks by word index, so any superset stays
-    correct."""
-    tile = _PACK_TILE if tile is None else tile
+    correct. hi_extra widens the hi probe for fields whose extra
+    contributions (word we-2, ...) reach back into the tile."""
+    tile = _PACK_TILE
     B, F = we.shape
     NT = -(-maxwords // tile)
     probes_lo = (jnp.arange(NT, dtype=jnp.int32) * tile) - 1
-    probes_hi = probes_lo + tile + 1
+    probes_hi = probes_lo + tile + 1 + hi_extra
 
     def count_le(wef, probes):
         lo = jnp.zeros(probes.shape, jnp.int32)
@@ -611,20 +612,12 @@ def _pack_words_pallas_multi(contribs, we, maxwords: int,
             nz = jnp.pad(nz, ((0, padB), (0, padF)))
     Bp, Fp = B + padB, F + padF
     nblocks = Fp // CHUNK
-    # probes_hi must reach ncon-1 words past the tile (contrib j of a field
-    # with we just past the tile lands inside it)
-    lo, hi, NT = _pack_tile_bounds(
-        jnp.maximum(we - (ncon - 2), -1) if ncon > 2 else we, maxwords)
+    # the hi probe must reach ncon-1 words past the tile (contribution j of
+    # a field with we just past the tile lands inside it)
+    lo, hi, NT = _pack_tile_bounds(we, maxwords, hi_extra=ncon - 2)
     G = Bp // ROWS
     lo_g = jnp.min(lo.reshape(G, ROWS, NT), axis=1) // SUB
     hi_g = -(-jnp.max(hi.reshape(G, ROWS, NT), axis=1) // SUB)
-    # re-derive hi from the UNSHIFTED we for the lo side correctness: use
-    # the shifted-we bounds for hi (covers we up to tile_end + ncon - 1) and
-    # unshifted for lo (fields left of the tile can still reach in only via
-    # larger we, never smaller)
-    if ncon > 2:
-        lo_u, _, _ = _pack_tile_bounds(we, maxwords)
-        lo_g = jnp.min(lo_u.reshape(G, ROWS, NT), axis=1) // SUB
     nsub = Fp // SUB
     if nz is not None:
         nz_sub = jnp.any(nz.reshape(G, ROWS, nsub, SUB), axis=(1, 3))

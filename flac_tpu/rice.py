@@ -106,7 +106,6 @@ def rice_search(absres: jnp.ndarray, folded: jnp.ndarray, order: jnp.ndarray,
             prev = rmax_by_po[po + 1]
             rmax_by_po[po] = jnp.maximum(prev[..., 0::2], prev[..., 1::2])
 
-    t = jnp.arange(T)
     # Running-min selection across partition orders (descending, so strict-<
     # keeps the higher order on ties, matching find_best_partition_order_'s
     # `<` sweep, stream_encoder.c:3726). An earlier stack-over-po + argmin +

@@ -34,7 +34,8 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as td:
         # the -5 bench corpus is 6 batches x 512 frames, -8 is 4 x 256,
         # seeds 7+i (bench.main)
-        for name, batch, nb in [("-5 corpus", 512, 6), ("-8 corpus", 256, 4)]:
+        for name, batch, nb, lvl in [("-5 corpus", 512, 6, 5),
+                                     ("-8 corpus", 256, 4, 8)]:
             pcm = np.concatenate([
                 make_corpus(batch * T, seed=7 + i).reshape(-1, 2)
                 for i in range(nb)])
@@ -45,13 +46,12 @@ def main() -> None:
                 w.setframerate(44100)
                 w.writeframes(pcm.astype("<i2").tobytes())
             raw = pcm.size * 2
-            for lvl in (5, 8):
-                out = os.path.join(td, "c.flac")
-                subprocess.run([oracle, f"-{lvl}", "-f", "-o", out, wav],
-                               capture_output=True, check=True)
-                sz = os.path.getsize(out)
-                print(f"{name} at -{lvl}: oracle ratio {sz / raw:.4f} "
-                      f"({sz} / {raw})")
+            out = os.path.join(td, "c.flac")
+            subprocess.run([oracle, f"-{lvl}", "-f", "-o", out, wav],
+                           capture_output=True, check=True)
+            sz = os.path.getsize(out)
+            print(f"{name} at -{lvl}: oracle ratio {sz / raw:.4f} "
+                  f"({sz} / {raw})")
 
 
 if __name__ == "__main__":

@@ -85,7 +85,7 @@ def main() -> None:
     real_rice = rice_mod.rice_search
 
     def stub_rice(absres, folded, order, suggested, blocksize, min_po, max_po,
-                  rice_limit, do_escape=False):
+                  rice_limit, do_escape=False, compute_exact=True):
         batch = folded.shape[:-1]
         nleaf = 1 << max_po
         z32 = jnp.zeros(batch, jnp.int32)

@@ -228,13 +228,28 @@ def max_frame_bytes(cfg: EncoderConfig, blocksize: int) -> int:
 
 def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
                         packer_impl: str | None = None):
-    """Resolve the packer choice (env consulted at BUILD time, so it is part
-    of the cache key — flipping FLAC_TPU_PACK mid-process takes effect on
-    the next build instead of being silently ignored by the lru cache)."""
+    """Resolve the packer choice (BOTH env knobs consulted at BUILD time, so
+    they are part of the lru cache key — flipping them mid-process takes
+    effect on the next build instead of being silently ignored).
+
+    FLAC_TPU_PACKER=pallas|merged|xla is the one knob; FLAC_TPU_PACK=merged
+    stays as a legacy alias for =merged. 'merged' is a TPU Mosaic kernel
+    variant: off-TPU (CPU tests, dry runs) it falls back to the XLA packer
+    instead of a failing pallas_call; 'pallas' remains a hard override (the
+    interpret-mode tests rely on it)."""
     import os as _os
 
-    if packer_impl is None and _os.environ.get("FLAC_TPU_PACK") == "merged":
-        packer_impl = "pallas-merged"
+    if packer_impl is None:
+        knob = _os.environ.get("FLAC_TPU_PACKER")
+        if knob is None and _os.environ.get("FLAC_TPU_PACK") == "merged":
+            knob = "merged"
+        if knob == "xla":
+            packer_impl = "xla"
+        elif knob == "pallas":
+            packer_impl = "pallas"
+        elif knob == "merged":
+            packer_impl = ("pallas-merged" if _pallas_platform_default()
+                           else "xla")
     return _build_frame_encoder(cfg, blocksize, packer_impl)
 
 
@@ -389,56 +404,118 @@ def _build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
             rbps_lpc = dsp_lpc.expected_bits_per_residual_sample(
                 err_o, (T - orders).astype(jnp.float64))
             sugg = _suggested_param(rbps_lpc, limit)
-            # precision, clamped for a 32-bit decode datapath (stream_encoder.c:3583)
             ilog2_o = _ilog2(orders)
-            prec = jnp.full(orders.shape, prec0, jnp.int32)
-            prec = jnp.where(bps_eff[..., None, None] <= 16,
-                             jnp.minimum(prec, 32 - bps_eff[..., None, None] - ilog2_o),
-                             prec)
             # coefficients for each candidate order
             coeff_rows = jnp.take_along_axis(
                 coeffs, (orders - 1)[..., None], axis=-2)        # [B,K,A,O,maxord]
-            qlp, shift, qok = dsp_lpc.quantize_coefficients(
-                coeff_rows, orders, prec, maxord)
             # int32 accumulation is exact iff bps + precision + ilog2(order)
             # <= 32 — the reference's own 32-bit-datapath test
             # (stream_encoder.c:3592). Static worst case: side channel bps,
-            # unclamped precision, max order.
-            narrow_lpc = (not use_wide
-                          and (bps_stream + (1 if use_ms else 0)
-                               + cfg.qlp_coeff_precision
-                               + (maxord.bit_length() - 1) <= 32))
-            res = dsp_lpc.lpc_residual(
-                x[:, :, None, None, :], qlp, orders, shift, maxord,
-                narrow=narrow_lpc)                                   # [B,K,A,O,T]
-            folded = rice.fold_residual(res, narrow=not use_wide)
-            absres = (jnp.abs(res) if not use_wide
-                      else jnp.abs(res.astype(jnp.int64)))
-            tvec = jnp.arange(T)
-            validt = tvec >= orders[..., None]
-            absres = jnp.where(validt, absres, 0)
-            folded = jnp.where(validt, folded, 0)
-            rs = rice.rice_search(absres, folded, orders, sugg, T, min_po,
-                                  max_po, limit,
-                                  do_escape=cfg.do_escape_coding,
-                                  compute_exact=False)
-            bits = (pre[..., None, None] + 9
-                    + orders.astype(jnp.int64) * (prec + bps_eff[..., None, None]).astype(jnp.int64)
-                    + rs.approx_bits)
-            active = (autoc_ok[..., None] & valid_o & qok & ~is_const[..., None, None]
-                      & (rbps_lpc < bps_eff[..., None, None].astype(jnp.float64))
-                      & (orders <= T - 1))
-            bits = jnp.where(active, bits, INF_BITS)
+            # unclamped precision, max order. Under the -p precision search
+            # the per-candidate caps (min(32-bps-order, 15) from the search
+            # bound at stream_encoder.c:3341-3345 and the bps<=16 clamp at
+            # :3583) keep bps_eff + prec + ilog2(order) <= 32 whenever
+            # bps_eff <= 17, so narrowness depends only on bps there.
+            if cfg.do_qlp_coeff_prec_search:
+                narrow_lpc = (not use_wide
+                              and bps_stream + (1 if use_ms else 0) <= 17)
+            else:
+                narrow_lpc = (not use_wide
+                              and (bps_stream + (1 if use_ms else 0)
+                                   + cfg.qlp_coeff_precision
+                                   + (maxord.bit_length() - 1) <= 32))
+            base_active = (autoc_ok[..., None] & valid_o & ~is_const[..., None, None]
+                           & (rbps_lpc < bps_eff[..., None, None].astype(jnp.float64))
+                           & (orders <= T - 1))
+
+            def eval_precision(prec_arr):
+                """Quantize + residual + Rice search at one precision field
+                (evaluate_lpc_subframe_, stream_encoder.c:3555-3652, incl. the
+                bps<=16 32-bit-datapath clamp at :3583)."""
+                prec_c = jnp.where(bps_eff[..., None, None] <= 16,
+                                   jnp.minimum(prec_arr,
+                                               32 - bps_eff[..., None, None] - ilog2_o),
+                                   prec_arr)
+                qlp_p, shift_p, qok_p = dsp_lpc.quantize_coefficients(
+                    coeff_rows, orders, prec_c, maxord)
+                res_p = dsp_lpc.lpc_residual(
+                    x[:, :, None, None, :], qlp_p, orders, shift_p, maxord,
+                    narrow=narrow_lpc)                               # [B,K,A,O,T]
+                folded_p = rice.fold_residual(res_p, narrow=not use_wide)
+                absres_p = (jnp.abs(res_p) if not use_wide
+                            else jnp.abs(res_p.astype(jnp.int64)))
+                validt = jnp.arange(T) >= orders[..., None]
+                absres_p = jnp.where(validt, absres_p, 0)
+                folded_p = jnp.where(validt, folded_p, 0)
+                rs_p = rice.rice_search(absres_p, folded_p, orders, sugg, T,
+                                        min_po, max_po, limit,
+                                        do_escape=cfg.do_escape_coding,
+                                        compute_exact=False)
+                bits_p = (pre[..., None, None] + 9
+                          + orders.astype(jnp.int64)
+                          * (prec_c + bps_eff[..., None, None]).astype(jnp.int64)
+                          + rs_p.approx_bits)
+                bits_p = jnp.where(base_active & qok_p, bits_p, INF_BITS)
+                return bits_p, res_p, rs_p, qlp_p, prec_c, shift_p
+
+            if cfg.do_qlp_coeff_prec_search:
+                # Real -p sweep (stream_encoder.c:3336-3385): per (window,
+                # order) candidate, evaluate every precision in
+                # [MIN_QLP_COEFF_PRECISION, max], where for bps<=17 the upper
+                # bound is min(32-bps-order, MAX) raised back to MIN. scan over
+                # the precision axis keeps peak memory at one candidate plane;
+                # strict-< in the reduction keeps the LOWEST winning precision,
+                # matching the reference's first-strict-winner loop order.
+                p_lo, p_hi = C.MIN_QLP_COEFF_PRECISION, C.MAX_QLP_COEFF_PRECISION
+                maxp = jnp.where(
+                    bps_eff[..., None, None] <= 17,
+                    jnp.maximum(jnp.minimum(32 - bps_eff[..., None, None] - orders,
+                                            p_hi), p_lo),
+                    p_hi)                                           # [B,K,A,O]
+
+                def prec_step(carry, p):
+                    bits_p, res_p, rs_p, qlp_p, prec_c, shift_p = eval_precision(
+                        jnp.full(orders.shape, p, jnp.int32))
+                    bits_p = jnp.where(p <= maxp, bits_p, INF_BITS)
+                    cand = (bits_p, res_p, rs_p.partition_order, rs_p.params_leaf,
+                            rs_p.raw_bits_leaf, rs_p.is_rice2, qlp_p, prec_c,
+                            shift_p)
+                    better = bits_p < carry[0]
+                    out = tuple(
+                        jnp.where(better.reshape(
+                            better.shape + (1,) * (c.ndim - better.ndim)), n, c)
+                        for c, n in zip(carry, cand))
+                    return out, None
+
+                sh = orders.shape
+                init = (jnp.full(sh, INF_BITS, jnp.int64),
+                        jnp.zeros(sh + (T,), jnp.int32),
+                        jnp.zeros(sh, jnp.int32),
+                        jnp.zeros(sh + (nleaf,), jnp.int32),
+                        jnp.zeros(sh + (nleaf,), jnp.int32),
+                        jnp.zeros(sh, bool),
+                        jnp.zeros(sh + (maxord,), jnp.int32),
+                        jnp.zeros(sh, jnp.int32),
+                        jnp.zeros(sh, jnp.int32))
+                (bits, res, rs_po, rs_params, rs_raws, rs_rice2, qlp, prec,
+                 shift), _ = jax.lax.scan(
+                    prec_step, init,
+                    jnp.arange(p_lo, p_hi + 1, dtype=jnp.int32))
+            else:
+                bits, res, rs, qlp, prec, shift = eval_precision(
+                    jnp.full(orders.shape, prec0, jnp.int32))
+                rs_po, rs_params = rs.partition_order, rs.params_leaf
+                rs_raws, rs_rice2 = rs.raw_bits_leaf, rs.is_rice2
             for a in range(A):
                 for oi in range(O):
                     cand_bits.append(bits[:, :, a, oi])
                     model_res.append(res[:, :, a, oi, :])
                     model_meta.append(dict(
                         type=C.SUBFRAME_TYPE_LPC, order=orders[:, :, a, oi],
-                        po=rs.partition_order[:, :, a, oi],
-                        params=rs.params_leaf[:, :, a, oi, :],
-                        raws=rs.raw_bits_leaf[:, :, a, oi, :],
-                        rice2=rs.is_rice2[:, :, a, oi],
+                        po=rs_po[:, :, a, oi],
+                        params=rs_params[:, :, a, oi, :],
+                        raws=rs_raws[:, :, a, oi, :],
+                        rice2=rs_rice2[:, :, a, oi],
                         qlp=qlp[:, :, a, oi, :], prec=prec[:, :, a, oi],
                         shift=shift[:, :, a, oi]))
 
@@ -744,17 +821,8 @@ def _build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
 from flac_tpu.dsp.bitmath import ilog2 as _ilog2  # noqa: E402
 
 
-def _use_pallas_packer() -> bool:
-    """The Pallas banded word-fill kernel is about 5x faster than the XLA
-    formulation on TPU; elsewhere (CPU tests, TPU-less dry runs) the XLA
-    path is used. Override with FLAC_TPU_PACKER=pallas|xla."""
-    import os
-
-    forced = os.environ.get("FLAC_TPU_PACKER")
-    if forced == "pallas":
-        return True
-    if forced == "xla":
-        return False
+def _pallas_platform_default() -> bool:
+    """True when the default device is a TPU (where the Mosaic kernels run)."""
     try:
         import jax as _jax
         dd = _jax.config.jax_default_device
@@ -763,6 +831,22 @@ def _use_pallas_packer() -> bool:
         return _jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def _use_pallas_packer() -> bool:
+    """The Pallas banded word-fill kernel is about 5x faster than the XLA
+    formulation on TPU; elsewhere (CPU tests, TPU-less dry runs) the XLA
+    path is used. Override with FLAC_TPU_PACKER=pallas|xla (resolved into
+    packer_impl by build_frame_encoder; this platform probe is the
+    packer_impl=None default inside the cached build)."""
+    import os
+
+    forced = os.environ.get("FLAC_TPU_PACKER")
+    if forced == "pallas":
+        return True
+    if forced == "xla":
+        return False
+    return _pallas_platform_default()
 
 
 @functools.lru_cache(maxsize=64)

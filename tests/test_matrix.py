@@ -102,6 +102,24 @@ class TestExhaustiveAndPrecisionSearch:
         sig = pathological("sine_mix", N, 2, 16, seed=6)
         _roundtrip(tmp_path, sig, 16, level=5, do_qlp_coeff_prec_search=True)
 
+    def test_p_flag_really_searches(self, tmp_path):
+        """-p must RUN the precision sweep (stream_encoder.c:3336-3385), not
+        just round-trip: the stream differs from the non-p stream and at least
+        one LPC subframe carries a precision other than the static default
+        (12 for 16-bit/4096, EncoderConfig.resolve)."""
+        from flac_tpu.decode.host_decoder import HostDecoder
+        from flac_tpu import constants as C_
+
+        sig = pathological("sine_mix", N, 2, 16, seed=6)
+        plain = _roundtrip(tmp_path, sig, 16, level=8, oracle_check=False)
+        searched = _roundtrip(tmp_path, sig, 16, level=8,
+                              do_qlp_coeff_prec_search=True)
+        assert searched != plain, "-p produced identical bytes to -8"
+        precs = {sf.qlp_precision
+                 for f in HostDecoder(searched).decode_all()[1]
+                 for sf in f.subframes if sf.type == C_.SUBFRAME_TYPE_LPC}
+        assert precs and precs != {12}, f"search never left the default: {precs}"
+
 
 class TestLaxBlocksizes:
     @pytest.mark.parametrize("blocksize", [32, 256, 32768])

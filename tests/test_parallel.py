@@ -124,3 +124,24 @@ class TestCollectiveAudit:
 
         colls = audit_decode_step(mesh, frames_per_device=2, blocksize=BS)
         assert colls == [], colls
+
+
+@pytest.mark.slow
+class TestCrossProcess:
+    """The process-boundary version of the multi-device evidence: the same
+    sharded steps driven from 2 jax.distributed CPU processes (Gloo across
+    the boundary) must be byte-identical to the single-process mesh.
+    tools/multihost_dryrun.py owns the launch/compare; a green run is also
+    recorded in PROGRESS.jsonl."""
+
+    def test_two_process_world_matches_single_process(self):
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        tool = Path(__file__).resolve().parent.parent / "tools" / "multihost_dryrun.py"
+        r = subprocess.run(
+            [sys.executable, str(tool), "--nprocs", "2", "--devices-per-proc", "4"],
+            capture_output=True, text=True, timeout=1500)
+        assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+        assert "PASS" in r.stdout

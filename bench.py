@@ -23,6 +23,7 @@ tunnel ceiling quantified.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -247,6 +248,28 @@ def _supervised_main() -> bool:
     return False
 
 
+def _oracle_ratio_rows(run_geometries: set) -> dict:
+    """oracle_same_corpus rows from the recorded tools/oracle_ratio.json
+    artifact. Emitted ONLY when the artifact's corpus geometry (level,
+    batch, nbatches, seed base, blocksize) matches this run's — a changed
+    corpus or geometry silently drops the row instead of reporting a stale
+    constant."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "oracle_ratio.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+    except Exception:
+        return {}
+    rows = {}
+    for e in rec.get("entries", []):
+        key = (e.get("level"), e.get("batch"), e.get("nbatches"),
+               e.get("seed_base"), e.get("blocksize"))
+        if key in run_geometries:
+            rows[f"-{e['level']}"] = e["ratio"]
+    return {"oracle_same_corpus": rows} if rows else {}
+
+
 def main() -> None:
     import os
 
@@ -397,10 +420,9 @@ def main() -> None:
                           "vs_baseline": round(dec8 / BASELINE_DEC, 3)},
             "compression_ratio": {
                 "-5": round(ratio5, 4), "-8": round(ratio8, 4),
-                # measured on the TPU bench geometry (512x6 / 256x4); only
-                # comparable when this run used that geometry
-                **({"oracle_same_corpus": {"-5": 0.6028, "-8": 0.5986}}
-                   if on_tpu else {}),
+                # recorded artifact, emitted only when its corpus geometry
+                # matches this run's (see tools/oracle_ratio.py)
+                **_oracle_ratio_rows({(5, b5, n5, 7, T), (8, b8, n8, 7, T)}),
                 "note": "frame bytes / raw 16-bit PCM bytes on the bench "
                         "corpus. oracle_same_corpus = the reference flac "
                         "binary's ratio on the identical samples at the "

@@ -8,11 +8,18 @@ produces the apples-to-apples number: the reference binary (built by
 tools/build_reference_oracle.sh) encoding the SAME samples at the SAME
 level.
 
+The measured ratios are RECORDED to tools/oracle_ratio.json together with
+the corpus geometry (level, batch, nbatches, seed base, blocksize);
+bench.py reads that artifact and emits the oracle_same_corpus row only
+when its own run geometry matches — stale constants are never reported
+silently.
+
 Usage: python tools/oracle_ratio.py [oracle_flac_path]
 """
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import sys
@@ -23,6 +30,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "oracle_ratio.json")
+
 
 def main() -> None:
     oracle = sys.argv[1] if len(sys.argv) > 1 else "/tmp/flacoracle/flac"
@@ -31,8 +41,9 @@ def main() -> None:
                  "run tools/build_reference_oracle.sh first")
     from bench import T, make_corpus
 
+    entries = []
     with tempfile.TemporaryDirectory() as td:
-        # the -5 bench corpus is 6 batches x 512 frames, -8 is 4 x 256,
+        # the -5 TPU bench corpus is 6 batches x 512 frames, -8 is 4 x 256,
         # seeds 7+i (bench.main)
         for name, batch, nb, lvl in [("-5 corpus", 512, 6, 5),
                                      ("-8 corpus", 256, 4, 8)]:
@@ -52,6 +63,14 @@ def main() -> None:
             sz = os.path.getsize(out)
             print(f"{name} at -{lvl}: oracle ratio {sz / raw:.4f} "
                   f"({sz} / {raw})")
+            entries.append(dict(level=lvl, batch=batch, nbatches=nb,
+                                seed_base=7, blocksize=T,
+                                ratio=round(sz / raw, 4),
+                                flac_bytes=sz, raw_bytes=raw))
+    with open(ARTIFACT, "w") as f:
+        json.dump(dict(corpus="bench.make_corpus", entries=entries), f,
+                  indent=1)
+    print(f"wrote {ARTIFACT}")
 
 
 if __name__ == "__main__":

@@ -42,6 +42,19 @@ class Decoder:
 
     def __init__(self, source, write_callback=None, metadata_callback=None,
                  error_callback=None, md5_checking: bool = True) -> None:
+        # read-callback / pipe sources stream through a bounded compressed
+        # window (the reference's client-read-callback decode model,
+        # stream_decoder.h:433-470 + bitreader.c:138-257) instead of
+        # slurping; seeking is unavailable on them, like a reference
+        # decoder whose seek callback is NULL
+        self._chunked = None
+        if callable(source) or (hasattr(source, "read")
+                                and not self._is_seekable(source)):
+            from flac_tpu.decode.streaming import ChunkedStreamDecoder
+            self._chunked = ChunkedStreamDecoder(source, check_md5=False)
+            self._init_common(write_callback, metadata_callback,
+                              error_callback, md5_checking)
+            return
         if isinstance(source, (bytes, bytearray)):
             data = bytes(source)
         elif isinstance(source, str):
@@ -56,6 +69,26 @@ class Decoder:
         if self.is_ogg:
             from flac_tpu.ogg import flac_stream_from_ogg
             data = flac_stream_from_ogg(data)
+        self._dec = hd.HostDecoder(data, check_md5=False)
+        self._seek = SeekableDecoder(data)
+        self._pos = self._dec.audio_offset
+        self._init_common(write_callback, metadata_callback, error_callback,
+                          md5_checking)
+
+    @staticmethod
+    def _is_seekable(source) -> bool:
+        try:
+            return source.seekable()
+        except Exception:
+            return hasattr(source, "seek")
+
+    def _init_common(self, write_callback, metadata_callback, error_callback,
+                     md5_checking: bool) -> None:
+        if self._chunked is not None:
+            self.is_ogg = False
+            self._dec = None
+            self._seek = None
+            self._pos = len(self._chunked.meta_prefix)
         self._write_cb = write_callback
         self._metadata_cb = metadata_callback
         self._error_cb = error_callback
@@ -65,9 +98,6 @@ class Decoder:
         # APPLICATION id list (stream_decoder.c:769-851): ids here TOGGLE the
         # type-level decision for matching blocks (stream_decoder.c:1479-1481)
         self._app_ids: set[bytes] = set()
-        self._dec = hd.HostDecoder(data, check_md5=False)
-        self._seek = SeekableDecoder(data)
-        self._pos = self._dec.audio_offset
         self._metadata_delivered = False
         self._frames = 0
         self._samples = 0
@@ -140,50 +170,73 @@ class Decoder:
 
     @property
     def streaminfo(self):
-        return self._dec.streaminfo
+        return (self._chunked or self._dec).streaminfo
+
+    @property
+    def _meta_blocks(self):
+        return (self._chunked or self._dec).metadata
 
     def get_decode_position(self) -> int:
         return self._pos
 
     def process_until_end_of_metadata(self) -> bool:
         if not self._metadata_delivered:
-            for block in self._dec.metadata:
+            for block in self._meta_blocks:
                 if self._should_deliver(block):
                     self.metadata_callback(block)
             self._metadata_delivered = True
         self.state = DecoderState.SEARCH_FOR_FRAME_SYNC
         return True
 
-    def process_single(self) -> bool:
-        """Decode and deliver exactly one frame (or one metadata pass)."""
-        if not self._metadata_delivered:
-            return self.process_until_end_of_metadata()
+    def _next_frame(self):
+        """One frame from whichever backend; None at end of stream; raises
+        nothing — errors go through error_callback with reference resync
+        semantics (frame_sync_, stream_decoder.c:1941)."""
+        if self._chunked is not None:
+            while True:
+                try:
+                    step = self._chunked.next_frame()
+                except (hd.DecodeError, ValueError, KeyError) as e:
+                    self.error_callback(str(e))
+                    if self._chunked.resync():
+                        self.state = DecoderState.SEARCH_FOR_FRAME_SYNC
+                        continue
+                    return None
+                return step
         if self._pos >= len(self._dec.data) - 2:
-            self.state = DecoderState.END_OF_STREAM
-            self._finish_md5()
-            return True
+            return None
         try:
-            pcm, frame = self._dec.decode_frame_at(self._pos)
+            step = self._dec.decode_frame_at(self._pos)
         except (hd.DecodeError, EOFError, ValueError, KeyError) as e:
             self.error_callback(str(e))
             try:
                 self._pos = self._dec.find_sync(self._pos + 1)
                 self.state = DecoderState.SEARCH_FOR_FRAME_SYNC
-                return True
+                return self._next_frame()
             except EOFError:
-                self.state = DecoderState.END_OF_STREAM
-                self._finish_md5()
-                return True
-        self._pos += frame.size
+                return None
+        return step
+
+    def process_single(self) -> bool:
+        """Decode and deliver exactly one frame (or one metadata pass)."""
+        if not self._metadata_delivered:
+            return self.process_until_end_of_metadata()
+        step = self._next_frame()
+        if step is None:
+            self.state = DecoderState.END_OF_STREAM
+            self._finish_md5()
+            return True
+        pcm, frame = step
+        self._pos = frame.offset + frame.size
         self._frames += 1
         self._samples += frame.blocksize
         if self._md5 is not None:
-            total = self._dec.streaminfo.total_samples
+            total = self.streaminfo.total_samples
             if total and self._samples > total:
                 pcm_for_md5 = pcm[: len(pcm) - (self._samples - total)]
             else:
                 pcm_for_md5 = pcm
-            self._md5.accumulate(pcm_for_md5, self._dec.streaminfo.bits_per_sample)
+            self._md5.accumulate(pcm_for_md5, self.streaminfo.bits_per_sample)
         self.state = DecoderState.READ_FRAME
         if not self.write_callback(pcm, frame):
             self.state = DecoderState.ABORTED
@@ -201,6 +254,8 @@ class Decoder:
         `sample` (the delivered block is NOT trimmed; use the frame's
         sample_number/blocksize, matching the reference's write-callback
         trimming being the client's to observe)."""
+        if self._chunked is not None:
+            return False  # read-callback source: no seek callback (NULL seek)
         try:
             self._seek.seek_absolute(sample)
         except SeekError:
@@ -212,7 +267,7 @@ class Decoder:
         return True
 
     def _finish_md5(self) -> None:
-        si = self._dec.streaminfo
+        si = self.streaminfo
         if self._md5 is not None and si.md5sum != b"\x00" * 16:
             self.md5_ok = self._md5.digest() == si.md5sum
             if not self.md5_ok:

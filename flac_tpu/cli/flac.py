@@ -1043,13 +1043,17 @@ def _channel_mask_tag(meta_blocks) -> int:
     return 0
 
 
-def _decode_streaming(path: str, data: bytes, o: Options) -> int | None:
+def _decode_streaming(path: str, data: bytes, o: Options, dec=None) -> int | None:
     """Constant-memory decode: write container headers up front (sizes from
     STREAMINFO total_samples), stream PCM blocks from the batched device
     decoder, fix the headers up if the stream delivered a different count
     (the reference does the same, decode.c:119-128). Returns None when this
     fast path doesn't apply (windowing/RG/foreign restore/-F/unknown length
-    stay on the assembled path)."""
+    stay on the assembled path).
+
+    `dec` may be a pre-built decoder-like object (streaminfo/metadata/
+    iter_blocks) — the stdin pipe path passes a ChunkedStreamDecoder so
+    the COMPRESSED side stays bounded too."""
     if (o.apply_rg is not None or o.cue or o.skip or o.until
             or o.decode_through_errors or o.keep_foreign):
         return None
@@ -1060,7 +1064,8 @@ def _decode_streaming(path: str, data: bytes, o: Options) -> int | None:
     from flac_tpu.containers.wav import _wav_pcm_bytes
     from flac_tpu.decode.stream import StreamDecoder
 
-    dec = StreamDecoder(data)
+    if dec is None:
+        dec = StreamDecoder(data)
     si = dec.streaminfo
     total = si.total_samples
     if not total:
@@ -1136,9 +1141,40 @@ def _decode_streaming(path: str, data: bytes, o: Options) -> int | None:
     return 0
 
 
+def _stdin_chunked(o: Options):
+    """Bounded-memory stdin consumption: when the chunked fast path applies
+    (native FLAC, known length, no windowing/RG/foreign), decode_one never
+    holds more than a window of the pipe (reference: the read-callback
+    decoder, stream_decoder.c:1034-1160). Returns (rc, None) when the
+    chunked path completed, else (None, data) with stdin fully drained for
+    the assembled path."""
+    from flac_tpu.decode.streaming import ByteFeed, ChunkedStreamDecoder
+
+    feed = ByteFeed(sys.stdin.buffer)
+    feed.ensure(4)
+    magic = bytes(feed.view()[:4])
+    dec = None
+    if magic[:3] == b"ID3" or magic == b"fLaC":
+        try:
+            dec = ChunkedStreamDecoder(feed)
+        except Exception:
+            dec = None  # malformed header: assembled path owns the error
+    if dec is not None and dec.streaminfo.total_samples:
+        rc = _decode_streaming("-", b"", o, dec=dec)
+        if rc is not None:
+            return rc, None
+    # drain the pipe for the assembled path (metadata prefix re-attached)
+    while not feed.eof:
+        feed.ensure(len(feed) + (1 << 20))
+    data = (dec.meta_prefix if dec is not None else b"") + bytes(feed.view())
+    return None, data
+
+
 def decode_one(path: str, o: Options) -> int:
     if path == "-":
-        data = sys.stdin.buffer.read()
+        rc, data = _stdin_chunked(o)
+        if rc is not None:
+            return rc
     else:
         with open(path, "rb") as f:
             data = f.read()
@@ -1238,6 +1274,27 @@ def decode_one(path: str, o: Options) -> int:
 def test_one(path: str, o: Options) -> int:
     from flac_tpu.decode.stream import StreamDecoder
 
+    if path == "-":
+        # full CRC/MD5 verification of a pipe in bounded memory on BOTH
+        # sides (compressed window + PCM batch)
+        from flac_tpu.decode.streaming import ByteFeed, ChunkedStreamDecoder
+
+        feed = ByteFeed(sys.stdin.buffer)
+        feed.ensure(4)
+        try:
+            if bytes(feed.view()[:4]) == b"OggS":
+                while not feed.eof:
+                    feed.ensure(len(feed) + (1 << 20))
+                from flac_tpu.ogg import decode_ogg_flac
+                decode_ogg_flac(bytes(feed.view()))
+            else:
+                for _ in ChunkedStreamDecoder(feed).iter_blocks():
+                    pass
+        except Exception as e:
+            o.say(1, f"-: FAILED ({e})")
+            return 1
+        o.say(2, "-: ok")
+        return 0
     with open(path, "rb") as f:
         data = f.read()
     try:

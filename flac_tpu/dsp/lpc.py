@@ -191,6 +191,63 @@ def lpc_residual(x: jnp.ndarray, qlp: jnp.ndarray, order: jnp.ndarray,
     return res.astype(jnp.int32)
 
 
+def lpc_residual_limbs(x: jnp.ndarray, qlp: jnp.ndarray, order: jnp.ndarray,
+                       shift: jnp.ndarray, max_order: int
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Wide-datapath residual via TWO INT32 LIMBS instead of emulated int64.
+
+    The reference's _wide path (lpc.c:531) exists because the MAC
+    sum_j qlp[j]*x[t-j] can exceed 32 bits even though x, qlp, and the
+    final residual all fit in int32. TPUs emulate int64 as int32 pairs on
+    every op; hand-limbing just the MAC halves that cost: split
+    x = (x>>12)*2^12 + (x & 0xFFF) and accumulate the two partial dot
+    products in int32 —
+
+        acc = A_hi*2^12 + A_lo,  H = A_hi + (A_lo>>12),  r = A_lo & 0xFFF
+        acc>>s = H >> (s-12)                    for s >= 12   (nested floor)
+               = (H << (12-s)) + (r >> s)       for s <  12   (exact split)
+
+    Exactness bound (the caller gates on it statically): per-tap products
+    |qlp|*2^12 and |qlp|*|x>>12| summed over max_order taps must fit int32
+    — holds for effective bps <= 25 with precision <= 15 and order <= 16,
+    i.e. the whole 24-bit family (stream_encoder.c's use_wide dispatch at
+    :888 with the same numerology).
+
+    Returns (res [..., T] int32, ovf [...] bool): `ovf` marks candidates
+    whose s < 12 prediction left int32 (astronomic-residual candidates a
+    valid encode never selects — the reference evaluates them exactly and
+    then discards them; here the caller masks them to INF bits instead).
+    """
+    T = x.shape[-1]
+    x = x.astype(jnp.int32)
+    xl = x & 0xFFF
+    xh = x >> 12
+    acc_lo = jnp.zeros(jnp.broadcast_shapes(x.shape, qlp.shape[:-1] + (T,)),
+                       jnp.int32)
+    acc_hi = jnp.zeros_like(acc_lo)
+    for j in range(1, max_order + 1):
+        coef = qlp[..., j - 1].astype(jnp.int32)
+        active = (j <= order)[..., None]
+        acc_lo = acc_lo + jnp.where(active,
+                                    coef[..., None] * jnp.roll(xl, j, -1), 0)
+        acc_hi = acc_hi + jnp.where(active,
+                                    coef[..., None] * jnp.roll(xh, j, -1), 0)
+    H = acc_hi + (acc_lo >> 12)
+    r = acc_lo & 0xFFF
+    s = shift[..., None].astype(jnp.int32)
+    pred_ge = jax.lax.shift_right_arithmetic(H, jnp.maximum(s - 12, 0))
+    pred_lt = (jax.lax.shift_left(H, jnp.maximum(12 - s, 0))
+               + jax.lax.shift_right_logical(r, jnp.minimum(s, 12)))
+    pred = jnp.where(s >= 12, pred_ge, pred_lt)
+    t = jnp.arange(T)
+    valid = t >= order[..., None]
+    res = jnp.where(valid, x - pred, 0)
+    # s < 12 overflow: |H| must fit in 31-(12-s) bits for H<<(12-s)
+    ovf_t = (s < 12) & (jnp.abs(H) >= (jnp.int32(1) << jnp.minimum(19 + s, 30)))
+    ovf = jnp.any(ovf_t & valid, axis=-1)
+    return res, ovf
+
+
 def lpc_restore(residual: jnp.ndarray, qlp: jnp.ndarray, order: jnp.ndarray,
                 shift: jnp.ndarray, warmup: jnp.ndarray, max_order: int) -> jnp.ndarray:
     """Decode-side FLAC__lpc_restore_signal[_wide] (lpc.c:795,1061).

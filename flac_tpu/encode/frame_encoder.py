@@ -250,13 +250,26 @@ def build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
         elif knob == "merged":
             packer_impl = ("pallas-merged" if _pallas_platform_default()
                            else "xla")
-    return _build_frame_encoder(cfg, blocksize, packer_impl)
+    return _build_frame_encoder(cfg, blocksize, packer_impl)[0]
+
+
+def build_frame_encoder_parts(cfg: EncoderConfig, blocksize: int | None = None,
+                              packer_impl: str | None = None):
+    """The split form of build_frame_encoder: (fields_fn, pack_fn), unjitted.
+
+    fields_fn(pcm, fnos) -> (values, nbits, info) is the full candidate
+    search + field assembly; pack_fn(values, nbits) -> (words, total_bits)
+    is the pure per-frame pack (the only stage containing a Pallas kernel).
+    The sharded driver jits each inside its own shard_map so varying-axes
+    checking stays ON for the stage that carries the collectives."""
+    return _build_frame_encoder(cfg, blocksize, packer_impl)[1:]
 
 
 @functools.lru_cache(maxsize=64)
 def _build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
                          packer_impl: str | None = None):
-    """Returns a jitted function encoding a batch of equal-size frames.
+    """Returns (jitted full encoder, unjitted fields stage, unjitted pack
+    stage) for a batch of equal-size frames.
 
     `blocksize` overrides cfg.blocksize for the stream's final partial frame;
     a partial ("fractional") block forces partition order 0
@@ -278,6 +291,24 @@ def _build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
     exhaustive = cfg.do_exhaustive_model_search
     n_lpc_orders = maxord if exhaustive else (1 if do_lpc else 0)
     use_wide = bps_stream + (T.bit_length() - 1) + 1 > 30  # stream_encoder.c:888
+    # int32 two-limb wide datapath (dsp.lpc.lpc_residual_limbs): replaces the
+    # emulated-int64 LPC MAC + [.., T]-sized |res|/fold passes when the limb
+    # accumulators provably fit int32 — the whole 24-bit family. Residuals,
+    # folds, and abs partition sums all stay int32-wide; only reductions
+    # widen (mirroring the decode side's narrow-limb rework). Env
+    # FLAC_TPU_WIDE=int64 restores the emulated path for A/B measurement.
+    bps_worst = bps_stream + (1 if use_ms else 0)
+    _pmax = C.MAX_QLP_COEFF_PRECISION
+    wide_limbs = (use_wide and bps_worst <= 25 and maxord >= 1
+                  and maxord * (1 << (_pmax + max(bps_worst - 14, 0))) < (1 << 31)
+                  and maxord * (1 << (_pmax + 11)) < (1 << 31))
+    if wide_limbs:
+        import os as _os
+        if _os.environ.get("FLAC_TPU_WIDE") == "int64":
+            wide_limbs = False
+    # [.., T]-sized elementwise math stays int32 whenever EITHER the whole
+    # datapath is 32-bit OR the limb path bounds the values
+    narrow_t = (not use_wide) or wide_limbs
     # rice partition orders (static range; per-frame predictor-order masking
     # happens inside rice_search)
     if is_fractional:
@@ -309,11 +340,16 @@ def _build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
         return v & ((jnp.int64(1) << jnp.minimum(nbits.astype(jnp.int64), 63)) - 1)
 
     def encode(pcm: jnp.ndarray, frame_numbers: jnp.ndarray):
-        """pcm: [B, T, Ch] int32; frame_numbers: [B] int64 (global indices,
+        """The candidate-search + field-assembly stage.
+
+        pcm: [B, T, Ch] int32; frame_numbers: [B] int64 (global indices,
         batch aligned to loose_mid_side_frames when loose mode is on).
 
-        Returns (words [B, maxwords] int32, total_bits [B] int32, info dict).
-        """
+        Returns (values [B, F] int64, nbits [B, F] int32, info dict) —
+        the packer input; `pack` below turns it into stream words. The
+        total frame bit count equals nbits.sum(axis=1) (padding and the
+        CRC-16 field are included), so stream placement needs only this
+        stage's outputs."""
         B = pcm.shape[0]
         pcm = pcm.astype(jnp.int32)
 
@@ -348,8 +384,10 @@ def _build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
             rbps_fixed = dsp_fixed.residual_bits_per_sample(errs, T - C.MAX_FIXED_ORDER)
             res_all = dsp_fixed.fixed_residuals_all_orders(x)    # [B, K, 5, T]
             orders5 = jnp.arange(5, dtype=jnp.int32)
-            folded = rice.fold_residual(res_all, narrow=not use_wide)
-            absres = (jnp.abs(res_all) if not use_wide
+            # narrow_t: order-4 differences of <=25-bit samples stay < 2^29,
+            # so the [B,K,5,T] fold/abs planes can skip int64 emulation
+            folded = rice.fold_residual(res_all, narrow=narrow_t)
+            absres = (jnp.abs(res_all) if narrow_t
                       else jnp.abs(res_all.astype(jnp.int64)))
             tvec = jnp.arange(T)
             validt = tvec[None, None, None, :] >= orders5[None, None, :, None]
@@ -438,11 +476,17 @@ def _build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
                                    prec_arr)
                 qlp_p, shift_p, qok_p = dsp_lpc.quantize_coefficients(
                     coeff_rows, orders, prec_c, maxord)
-                res_p = dsp_lpc.lpc_residual(
-                    x[:, :, None, None, :], qlp_p, orders, shift_p, maxord,
-                    narrow=narrow_lpc)                               # [B,K,A,O,T]
-                folded_p = rice.fold_residual(res_p, narrow=not use_wide)
-                absres_p = (jnp.abs(res_p) if not use_wide
+                if wide_limbs:
+                    res_p, ovf_p = dsp_lpc.lpc_residual_limbs(
+                        x[:, :, None, None, :], qlp_p, orders, shift_p,
+                        maxord)                                      # [B,K,A,O,T]
+                    qok_p = qok_p & ~ovf_p
+                else:
+                    res_p = dsp_lpc.lpc_residual(
+                        x[:, :, None, None, :], qlp_p, orders, shift_p, maxord,
+                        narrow=narrow_lpc)                           # [B,K,A,O,T]
+                folded_p = rice.fold_residual(res_p, narrow=narrow_t)
+                absres_p = (jnp.abs(res_p) if narrow_t
                             else jnp.abs(res_p.astype(jnp.int64)))
                 validt = jnp.arange(T) >= orders[..., None]
                 absres_p = jnp.where(validt, absres_p, 0)
@@ -576,7 +620,7 @@ def _build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
         # exact residual-coding bits, ONE [B,K,T] pass for the selected
         # candidate (rice_search skips its per-candidate exact pass, which
         # was an int64 [B,K,O,T] reduction per model plane)
-        sel_folded = rice.fold_residual(sel_res, narrow=not use_wide)
+        sel_folded = rice.fold_residual(sel_res, narrow=narrow_t)
         sel_exact_res = rice.rice_exact_bits(
             sel_folded, sel_params,
             sel_raws if cfg.do_escape_coding else None,
@@ -791,6 +835,17 @@ def _build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
                                      jnp.ones((1, crc8_slot), bool),
                                      crc8_table, crc_mod.CRC8_POLY, 8)
         values = values.at[:, crc8_slot].set(crc8_val)
+        info = dict(assignment=ca, subframe_type=sel_type, order=sel_order,
+                    partition_order=sel_po, wasted=w,
+                    exact_subframe_bits=sel_exact_bits)
+        return values, nbits, info
+
+    def pack(values, nbits):
+        """The PURE PER-FRAME pack stage: field words + CRC-16. No
+        collectives and no cross-frame dataflow — the sharded driver runs
+        this in its own (vma-unchecked) shard_map so the candidate-search
+        stage's collectives keep full varying-axes checking
+        (parallel/sharding.py)."""
         # CRC-16 over the whole frame: computed from the PACKED WORDS (the
         # reserved 16-bit field stays zero through packing), ~10x cheaper
         # than the per-field GF(2) reduction — see packer.crc16_from_words
@@ -810,12 +865,15 @@ def _build_frame_encoder(cfg: EncoderConfig, blocksize: int | None = None,
         crc16_val = packer.crc16_from_words(words, total_bits,
                                             crc16_wtbl, crc16_winv)
         words = packer.insert_crc16(words, total_bits, crc16_val)
-        info = dict(assignment=ca, subframe_type=sel_type, order=sel_order,
-                    partition_order=sel_po, wasted=w,
-                    frame_bits=total_bits, exact_subframe_bits=sel_exact_bits)
+        return words, total_bits
+
+    def full(pcm, frame_numbers):
+        values, nbits, info = encode(pcm, frame_numbers)
+        words, total_bits = pack(values, nbits)
+        info = dict(info, frame_bits=total_bits)
         return words, total_bits, info
 
-    return jax.jit(encode)
+    return jax.jit(full), encode, pack
 
 
 from flac_tpu.dsp.bitmath import ilog2 as _ilog2  # noqa: E402

@@ -77,16 +77,21 @@ def build_sharded_encode_step(cfg: EncoderConfig, mesh: Mesh,
     # pick the word-pack kernel by the MESH's platform, not the default
     # backend: a CPU dry-run mesh may coexist with a loaded TPU plugin
     mesh_platform = mesh.devices.flat[0].platform
-    encode = build_frame_encoder(
+    from flac_tpu.encode.frame_encoder import build_frame_encoder_parts
+    fields_fn, pack_fn = build_frame_encoder_parts(
         cfg, packer_impl="pallas" if mesh_platform == "tpu" else "xla")
     n_dev = mesh.size
     B = frames_per_device * n_dev
     axes = ("host", "chip")
 
-    def local_step(pcm, fnos):
-        # pcm: [frames_per_device, T, Ch] (this shard's frames)
-        words, total_bits, info = encode(pcm, fnos)
-        nbytes = ((total_bits.astype(jnp.int64) + 7) // 8)
+    def search_step(pcm, fnos):
+        # pcm: [frames_per_device, T, Ch] (this shard's frames).
+        # Candidate search + field assembly + EVERY collective. The frame's
+        # total bit count is the field nbits sum (pad + CRC-16 fields
+        # included), so stream placement doesn't need the packer.
+        values, nbits, info = fields_fn(pcm, fnos)
+        total_bits = jnp.sum(nbits.astype(jnp.int64), axis=1)
+        nbytes = (total_bits + 7) // 8
 
         # --- global STREAMINFO statistics over ICI+DCN ----------------------
         min_fs = jax.lax.pmin(jnp.min(nbytes), axis_name=axes)
@@ -107,21 +112,35 @@ def build_sharded_encode_step(cfg: EncoderConfig, mesh: Mesh,
         preceding = jnp.sum(jnp.where(jnp.arange(flat.shape[0]) < my_idx, flat, 0))
         offsets = preceding + local_excl
 
-        return (words, nbytes, offsets, min_fs[None], max_fs[None], total[None],
-                info["assignment"])
+        return (values, nbits, nbytes, offsets, min_fs[None], max_fs[None],
+                total[None], info["assignment"])
+
+    def pack_step(values, nbits):
+        # pure per-frame pack: field words + CRC-16. NO collectives — so
+        # running it vma-unchecked (below) leaves nothing unprotected.
+        words, _total_bits = pack_fn(values, nbits)
+        return words
 
     spec_b = P(("host", "chip"))
-    sharded = jax.shard_map(
-        local_step, mesh=mesh,
+    spec_b2 = P(("host", "chip"), None)
+    # varying-axes checking is ON for the stage that owns the collectives.
+    sharded_search = jax.shard_map(
+        search_step, mesh=mesh,
         in_specs=(P(("host", "chip"), None, None), spec_b),
-        out_specs=(P(("host", "chip"), None), spec_b, spec_b,
+        out_specs=(spec_b2, spec_b2, spec_b, spec_b,
                    P(("host", "chip")), P(("host", "chip")),
                    P(("host", "chip")), spec_b),
-        # varying-axes checking stays ON for the XLA packer (all tests and
-        # the CPU dryrun). The Pallas packer's out_shape now carries the
-        # inputs' vma (packer.py), but pallas-under-shard_map still trips
-        # the checker on index values inside the kernel body, so only the
-        # TPU mesh scopes it off.
+        check_vma=True,
+    )
+    # The pack stage is collective-free, but its Pallas kernel body trips
+    # the vma checker (unvarying loop/index values meeting varying refs —
+    # a JAX-side limitation, see the checker's own error text). Scoping
+    # check_vma=False to THIS shard_map only exempts the kernel; the
+    # search stage above stays fully checked on every platform.
+    sharded_pack = jax.shard_map(
+        pack_step, mesh=mesh,
+        in_specs=(spec_b2, spec_b2),
+        out_specs=spec_b2,
         check_vma=(mesh_platform != "tpu"),
     )
 
@@ -133,7 +152,9 @@ def build_sharded_encode_step(cfg: EncoderConfig, mesh: Mesh,
         assert pcm.shape[0] == B, (pcm.shape, B)
         pcm = jax.lax.with_sharding_constraint(pcm, in_sh[0])
         frame_numbers = jax.lax.with_sharding_constraint(frame_numbers, in_sh[1])
-        words, nbytes, offs, mn, mx, tot, assign = sharded(pcm, frame_numbers)
+        values, nbits, nbytes, offs, mn, mx, tot, assign = sharded_search(
+            pcm, frame_numbers)
+        words = sharded_pack(values, nbits)
         return ShardedEncodeResult(
             words=words, nbytes=nbytes, stream_offset=offs,
             min_framesize=mn[0], max_framesize=mx[0], total_bytes=tot[0],

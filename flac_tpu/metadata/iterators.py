@@ -142,6 +142,7 @@ class MetadataChain:
         self.blocks: list[MetadataBlock] = []
         self._path: str | None = None
         self._layout: _Layout | None = None
+        self._is_ogg = False
 
     # -- reading --
 
@@ -150,6 +151,8 @@ class MetadataChain:
         chain = cls()
         with open(path, "rb") as f:
             data = f.read()
+        if data[:4] == b"OggS":
+            return cls.read_ogg(path)
         start = _find_stream_start(data)
         pos = start + 4
         while True:
@@ -161,6 +164,36 @@ class MetadataChain:
         chain._layout = _Layout(stream_start=start, metadata_end=pos, file_len=len(data))
         if not chain.blocks or not isinstance(chain.blocks[0], StreamInfo):
             raise MetadataIOError("first metadata block is not STREAMINFO")
+        return chain
+
+    @classmethod
+    def read_ogg(cls, path: str) -> "MetadataChain":
+        """FLAC__metadata_chain_read_ogg (metadata.h:849): read the chain
+        from an Ogg FLAC (.oga) file by demuxing the header packets.
+
+        The reference's Ogg chain is read-only ('a subsequent
+        FLAC__metadata_chain_write() will fail', metadata.h:662-663); this
+        chain goes one further: write() re-paginates the WHOLE stream
+        through a tempfile+rename (rewrite-only — in-place padding reuse
+        has no meaning inside Ogg pages)."""
+        from flac_tpu.ogg import flac_stream_from_ogg
+
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:4] != b"OggS":
+            raise MetadataIOError("not an Ogg stream")
+        native = flac_stream_from_ogg(data)
+        chain = cls()
+        pos = 4
+        while True:
+            block, pos = parse_block(native, pos)
+            chain.blocks.append(block)
+            if block.is_last:
+                break
+        if not chain.blocks or not isinstance(chain.blocks[0], StreamInfo):
+            raise MetadataIOError("first metadata block is not STREAMINFO")
+        chain._path = path
+        chain._is_ogg = True
         return chain
 
     # -- editing helpers (metadata_object.c-style ops) --
@@ -235,6 +268,9 @@ class MetadataChain:
             raise MetadataIOError("chain has no associated file")
         if not self.blocks or not isinstance(self.blocks[0], StreamInfo):
             raise MetadataIOError("first metadata block must be STREAMINFO")
+        if self._is_ogg:
+            self._write_ogg(path)
+            return
         layout = self._layout if path == self._path else None
 
         if layout is not None:
@@ -290,6 +326,39 @@ class MetadataChain:
                                metadata_end=layout.stream_start + 4 + len(blob),
                                file_len=len(data) - (layout.metadata_end -
                                                      layout.stream_start - 4) + len(blob))
+        self._path = path
+
+    def _write_ogg(self, path: str) -> None:
+        """Ogg chain write: splice the edited blocks into the demuxed native
+        stream and RE-PAGINATE the whole file (tempfile + atomic rename),
+        keeping the original stream serial number. Beyond-reference: the C
+        chain refuses to write Ogg (metadata.h:662-663)."""
+        from flac_tpu.ogg import flac_stream_from_ogg, ogg_from_flac_stream
+
+        src = self._path or path
+        with open(src, "rb") as f:
+            data = f.read()
+        if data[:4] != b"OggS":
+            raise MetadataIOError("chain source is no longer an Ogg stream")
+        native = flac_stream_from_ogg(data)
+        pos = 4
+        while True:
+            b, pos = parse_block(native, pos)
+            if b.is_last:
+                break
+        new_native = b"fLaC" + self._serialized() + native[pos:]
+        serial = int.from_bytes(data[14:18], "little")
+        blob = ogg_from_flac_stream(new_native, serial=serial)
+        dirn = os.path.dirname(os.path.abspath(path)) or "."
+        fd, tmp = tempfile.mkstemp(prefix=".flacmeta.", dir=dirn)
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
         self._path = path
 
 

@@ -315,3 +315,66 @@ class TestSimpleIteratorInPlace:
         # iterator state stays coherent after the rewrite
         assert it.get_block_length() == len(big.body_bytes())
         _assert_audio_intact(path)
+
+
+class TestOggChain:
+    """FLAC__metadata_chain_read_ogg parity (metadata.h:849): the chain
+    reads from Ogg FLAC; --list on an .oga matches the native dump; and
+    (beyond-reference) write() re-paginates instead of failing."""
+
+    def _pair(self, tmp_path):
+        from pathlib import Path
+
+        from flac_tpu.ogg import ogg_from_flac_stream
+
+        p = Path(_make_file(tmp_path))
+        oga = tmp_path / "m.oga"
+        oga.write_bytes(ogg_from_flac_stream(p.read_bytes(), serial=0x7357))
+        return p, oga
+
+    def test_read_ogg_matches_native_blocks(self, tmp_path):
+        p, oga = self._pair(tmp_path)
+        native = MetadataChain.read(str(p))
+        via_ogg = MetadataChain.read(str(oga))   # auto-detects OggS
+        assert via_ogg._is_ogg
+        from flac_tpu.metadata import serialize_metadata
+        assert serialize_metadata(via_ogg.blocks) == \
+            serialize_metadata(native.blocks)
+
+    def test_metaflac_list_on_oga_matches(self, tmp_path):
+        import io
+        import sys
+
+        from flac_tpu.cli import metaflac as mf
+
+        p, oga = self._pair(tmp_path)
+
+        def listing(path):
+            buf = io.StringIO()
+            old = sys.stdout
+            sys.stdout = buf
+            try:
+                assert mf.main(["--list", path]) == 0
+            finally:
+                sys.stdout = old
+            return buf.getvalue().replace(path, "<file>")
+
+        assert listing(str(p)) == listing(str(oga))
+
+    def test_ogg_chain_edit_rewrite(self, tmp_path):
+        from flac_tpu.ogg import decode_ogg_flac
+
+        p, oga = self._pair(tmp_path)
+        sig = decode_bytes(p.read_bytes())[0]
+        chain = MetadataChain.read_ogg(str(oga))
+        vc = chain.get(VorbisComment)
+        if vc is None:
+            vc = VorbisComment(vendor_string="t")
+            chain.blocks.insert(1, vc)
+        vc.comments.append("TITLE=ogg chain")
+        chain.write()
+        again = MetadataChain.read_ogg(str(oga))
+        assert any(c == "TITLE=ogg chain"
+                   for c in again.get(VorbisComment).comments)
+        pcm, _si, _info = decode_ogg_flac(oga.read_bytes())
+        np.testing.assert_array_equal(pcm, sig)

@@ -17,6 +17,7 @@ Host-side, pure Python; no TPU content.
 
 from __future__ import annotations
 
+import io
 import os
 import tempfile
 from dataclasses import dataclass
@@ -165,6 +166,93 @@ class MetadataChain:
         if not chain.blocks or not isinstance(chain.blocks[0], StreamInfo):
             raise MetadataIOError("first metadata block is not STREAMINFO")
         return chain
+
+    @classmethod
+    def read_io(cls, handle) -> "MetadataChain":
+        """FLAC__metadata_chain_read_with_callbacks (metadata.h:869): read
+        the chain from a file-like handle (the Python analog of the C
+        IOHandle+IOCallbacks pair). The chain keeps no path; write it back
+        with write_io / write_io_tempfile."""
+        data = handle.read()
+        if data[:4] == b"OggS":
+            return cls.read_ogg_io(io.BytesIO(data))
+        chain = cls()
+        start = _find_stream_start(data)
+        pos = start + 4
+        while True:
+            block, pos = parse_block(data, pos)
+            chain.blocks.append(block)
+            if block.is_last:
+                break
+        chain._layout = _Layout(stream_start=start, metadata_end=pos,
+                                file_len=len(data))
+        if not chain.blocks or not isinstance(chain.blocks[0], StreamInfo):
+            raise MetadataIOError("first metadata block is not STREAMINFO")
+        return chain
+
+    @classmethod
+    def read_ogg_io(cls, handle) -> "MetadataChain":
+        """FLAC__metadata_chain_read_ogg_with_callbacks (metadata.h:896)."""
+        from flac_tpu.ogg import flac_stream_from_ogg
+
+        data = handle.read()
+        if data[:4] != b"OggS":
+            raise MetadataIOError("not an Ogg stream")
+        native = flac_stream_from_ogg(data)
+        chain = cls()
+        pos = 4
+        while True:
+            block, pos = parse_block(native, pos)
+            chain.blocks.append(block)
+            if block.is_last:
+                break
+        if not chain.blocks or not isinstance(chain.blocks[0], StreamInfo):
+            raise MetadataIOError("first metadata block is not STREAMINFO")
+        chain._is_ogg = True
+        return chain
+
+    def write_io(self, handle) -> None:
+        """FLAC__metadata_chain_write_with_callbacks (metadata.h:958):
+        IN-PLACE write through a seekable read/write handle. Like the
+        reference, requires the new metadata to fit the existing region
+        (call check_if_tempfile_needed first; padding absorbs slack) —
+        raises MetadataIOError otherwise."""
+        if self._layout is None:
+            raise MetadataIOError("chain was not read from a native stream")
+        if self._is_ogg:
+            raise MetadataIOError("in-place write is meaningless inside Ogg")
+        existing = self._layout.metadata_end - (self._layout.stream_start + 4)
+        blob = self._serialized()
+        if len(blob) != existing:
+            if not isinstance(self.blocks[-1], Padding):
+                if len(blob) + BLOCK_HEADER_LEN <= existing:
+                    self.blocks.append(Padding(
+                        length=existing - len(blob) - BLOCK_HEADER_LEN))
+                    blob = self._serialized()
+            else:
+                delta = existing - len(blob)
+                if self.blocks[-1].length + delta >= 0:
+                    self.blocks[-1] = Padding(
+                        length=self.blocks[-1].length + delta)
+                    blob = self._serialized()
+        if len(blob) != existing:
+            raise MetadataIOError(
+                "new metadata does not fit; use write_io_tempfile "
+                "(FLAC__METADATA_CHAIN_STATUS_BAD_METADATA analog)")
+        handle.seek(self._layout.stream_start + 4)
+        handle.write(blob)
+
+    def write_io_tempfile(self, handle, temp_handle) -> None:
+        """FLAC__metadata_chain_write_with_callbacks_and_tempfile
+        (metadata.h:982): stream the rewritten file into `temp_handle`
+        (the caller owns the swap/rename, as in the reference)."""
+        if self._layout is None:
+            raise MetadataIOError("chain was not read from a native stream")
+        handle.seek(0)
+        data = handle.read()
+        temp_handle.write(data[: self._layout.stream_start + 4])
+        temp_handle.write(self._serialized())
+        temp_handle.write(data[self._layout.metadata_end:])
 
     @classmethod
     def read_ogg(cls, path: str) -> "MetadataChain":

@@ -160,8 +160,31 @@ def parse_pages(data: bytes):
         pos += page_len
 
 
-def extract_packets(data: bytes, serial: int | None = None) -> list[bytes]:
-    """Reassemble the packet stream for one logical bitstream."""
+def _first_flac_serial(data: bytes) -> int | None:
+    """Serial of the first logical bitstream whose BOS packet carries the
+    FLAC mapping (0x7F 'FLAC'), or None if no such stream exists. The
+    reference aspect only ever latches the FIRST page's serial
+    (ogg_decoder_aspect.c:201-203) and returns NOT_FLAC for anything
+    else; scanning the BOS set also finds FLAC when it is multiplexed
+    behind another codec's stream."""
+    for htype, _g, ser, _s, segments in parse_pages(data):
+        if not (htype & 2):     # BOS pages come first; stop at the body
+            return None
+        if segments and segments[0][0][:5] == b"\x7fFLAC":
+            return ser
+    return None
+
+
+def extract_packets(data: bytes, serial: int | None = None,
+                    stop_at_eos: bool = True) -> list[bytes]:
+    """Reassemble the packet stream for one logical bitstream.
+
+    Chained streams (a second link concatenated after the first link's
+    EOS page, possibly REUSING the serial): the reference decoder ends at
+    end-of-stream of the link it latched onto (aspect->end_of_stream);
+    stop_at_eos mirrors that — packets after the chosen bitstream's EOS
+    page never leak in. Pass stop_at_eos=False to keep scanning (used by
+    iter_chain_links)."""
     packets: list[bytes] = []
     cur = bytearray()
     chosen = serial
@@ -178,7 +201,40 @@ def extract_packets(data: bytes, serial: int | None = None) -> list[bytes]:
             if lace < 255:
                 packets.append(bytes(cur))
                 cur = bytearray()
+        if stop_at_eos and (htype & 4):
+            break
     return packets
+
+
+def iter_chain_links(data: bytes):
+    """Split a (possibly chained) Ogg file into its links.
+
+    Yields (start_byte, end_byte, serials) per chain link, where a link
+    is a maximal page run from a BOS page set to the matching EOS pages
+    (RFC 3533 chaining: links are concatenated, never interleaved). A
+    reference decoder consumes only the first link; this iterator lets a
+    caller decode every FLAC link (decode_ogg_flac(all_links=True))."""
+    link_start = None
+    open_serials: set[int] = set()
+    serials: set[int] = set()
+    pos = 0
+    for htype, _g, ser, _s, segments in parse_pages(data):
+        page_len = 27 + len(segments) + sum(lace for _seg, lace in segments)
+        if htype & 2:  # BOS
+            if link_start is None:
+                link_start, serials, open_serials = pos, set(), set()
+            open_serials.add(ser)
+            serials.add(ser)
+        if link_start is None:
+            link_start, serials, open_serials = pos, {ser}, {ser}
+        if htype & 4:  # EOS
+            open_serials.discard(ser)
+            if not open_serials:
+                yield link_start, pos + page_len, frozenset(serials)
+                link_start = None
+        pos += page_len
+    if link_start is not None:  # truncated final link (no EOS)
+        yield link_start, pos, frozenset(serials)
 
 
 # -- FLAC-in-Ogg mapping ----------------------------------------------------
@@ -259,8 +315,15 @@ def ogg_from_flac_stream(flac_data: bytes, serial: int = 0x464C4143) -> bytes:
 
 
 def flac_stream_from_ogg(data: bytes) -> bytes:
-    """Unwrap Ogg FLAC into a native FLAC stream."""
-    packets = extract_packets(data)
+    """Unwrap Ogg FLAC into a native FLAC stream.
+
+    Latches onto the first FLAC-mapped logical bitstream (BOS scan) so a
+    FLAC stream multiplexed behind another codec's still unwraps; stops
+    at that bitstream's EOS page, so chained links after it never leak
+    into the frame bytes (the reference aspect's end_of_stream behavior,
+    ogg_decoder_aspect.c). For the later links use iter_chain_links /
+    decode_ogg_flac(all_links=True)."""
+    packets = extract_packets(data, serial=_first_flac_serial(data))
     if not packets:
         raise OggError("no Ogg packets found")
     p0 = packets[0]
@@ -608,12 +671,32 @@ def encode_ogg_flac(samples: np.ndarray, sample_rate: int, bits_per_sample: int,
     return ogg_from_flac_stream(buf.getvalue(), serial=serial)
 
 
-def decode_ogg_flac(data: bytes, check_md5: bool = True):
-    """Returns (pcm, streaminfo, metadata_blocks)."""
+def decode_ogg_flac(data: bytes, check_md5: bool = True,
+                    all_links: bool = False):
+    """Returns (pcm, streaminfo, metadata_blocks).
+
+    Default: the first FLAC link only — reference parity (a chained
+    file's later links are unreachable through the C decoder aspect).
+    all_links=True decodes EVERY FLAC link of a chained file and
+    concatenates the PCM (links must share channels/bps; streaminfo and
+    metadata are the first link's)."""
+    import numpy as np
+
     from flac_tpu.decode.stream import decode_bytes_device
     from flac_tpu.metadata import parse_metadata
 
     flac_data = flac_stream_from_ogg(data)
     pcm, si, _info = decode_bytes_device(flac_data, check_md5=check_md5)
     blocks, _ = parse_metadata(flac_data, 4)
+    if all_links:
+        links = list(iter_chain_links(data))
+        for start, end, _serials in links[1:]:
+            try:
+                chunk = flac_stream_from_ogg(data[start:end])
+            except OggError:
+                continue  # non-FLAC link
+            pcm2, si2, _ = decode_bytes_device(chunk, check_md5=check_md5)
+            if si2.channels != si.channels or si2.bits_per_sample != si.bits_per_sample:
+                raise OggError("chained links change the sample format")
+            pcm = np.concatenate([pcm, pcm2], axis=0)
     return pcm, si, blocks

@@ -378,3 +378,53 @@ class TestOggChain:
                    for c in again.get(VorbisComment).comments)
         pcm, _si, _info = decode_ogg_flac(oga.read_bytes())
         np.testing.assert_array_equal(pcm, sig)
+
+
+class TestChainCallbacks:
+    """The *_with_callbacks chain variants (metadata.h:869,896,958,982)
+    as Python file-like-handle methods."""
+
+    def test_read_io_write_io_in_place(self, tmp_path):
+        import io as _io
+
+        p = _make_file(tmp_path, metadata=[Padding(length=256)])
+        buf = bytearray(open(p, "rb").read())
+        handle = _io.BytesIO(bytes(buf))
+        chain = MetadataChain.read_io(handle)
+        vc = chain.get(VorbisComment)
+        vc.comments.append("X=y")
+        assert not chain.check_if_tempfile_needed()
+        chain.write_io(handle)
+        out = handle.getvalue()
+        assert len(out) == len(buf), "in-place write must not resize"
+        chain2 = MetadataChain.read_io(_io.BytesIO(out))
+        assert any(c == "X=y" for c in chain2.get(VorbisComment).comments)
+        pcm, _si, _ = decode_bytes(out)
+        np.testing.assert_array_equal(pcm, decode_bytes(bytes(buf))[0])
+
+    def test_write_io_tempfile_when_grown(self, tmp_path):
+        import io as _io
+
+        p = _make_file(tmp_path)
+        data = open(p, "rb").read()
+        chain = MetadataChain.read_io(_io.BytesIO(data))
+        vc = chain.get(VorbisComment)
+        vc.comments.append("BIG=" + "z" * 4096)
+        with pytest.raises(MetadataIOError):
+            chain.write_io(_io.BytesIO(data))
+        tmp = _io.BytesIO()
+        chain.write_io_tempfile(_io.BytesIO(data), tmp)
+        out = tmp.getvalue()
+        chain2 = MetadataChain.read_io(_io.BytesIO(out))
+        assert any(c.startswith("BIG=") for c in chain2.get(VorbisComment).comments)
+        np.testing.assert_array_equal(decode_bytes(out)[0], decode_bytes(data)[0])
+
+    def test_read_ogg_io(self, tmp_path):
+        import io as _io
+
+        from flac_tpu.ogg import ogg_from_flac_stream
+
+        p = _make_file(tmp_path)
+        oga = ogg_from_flac_stream(open(p, "rb").read(), serial=3)
+        chain = MetadataChain.read_io(_io.BytesIO(oga))
+        assert chain._is_ogg and isinstance(chain.blocks[0], StreamInfo)

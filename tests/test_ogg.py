@@ -193,3 +193,63 @@ class TestCLIOgg:
         assert main(["--totally-silent", "-d", "-f", "-o", str(back), str(oga)]) == 0
         from flac_tpu.containers import read_wav
         np.testing.assert_array_equal(read_wav(str(back)).samples, sig)
+
+
+class TestChainedAndMultiplexed:
+    """Chain-link / multiplexed-serial edge parity (ogg_decoder_aspect.c):
+    the decoder latches one FLAC bitstream, never reads past its EOS page,
+    and (beyond reference) iter_chain_links exposes the later links."""
+
+    def _one_oga(self, sig, serial):
+        import io
+
+        from flac_tpu.encode.encoder import encode_file
+        from flac_tpu.ogg import ogg_from_flac_stream
+        import tempfile, os
+
+        fd, p = tempfile.mkstemp(suffix=".flac")
+        os.close(fd)
+        try:
+            encode_file(sig, 44100, 16, p, level=1)
+            return ogg_from_flac_stream(open(p, "rb").read(), serial=serial)
+        finally:
+            os.unlink(p)
+
+    def test_chained_links(self):
+        from flac_tpu.ogg import decode_ogg_flac, iter_chain_links
+
+        sig1 = make_signal(4096 + 100, 2, 16, kind="quiet", seed=1)
+        sig2 = make_signal(4096 + 33, 2, 16, kind="quiet", seed=2)
+        chained = self._one_oga(sig1, 0x11) + self._one_oga(sig2, 0x22)
+        links = list(iter_chain_links(chained))
+        assert len(links) == 2 and links[0][1] == links[1][0]
+        # reference parity: only the first link decodes by default
+        pcm, _si, _blocks = decode_ogg_flac(chained)
+        np.testing.assert_array_equal(pcm, sig1)
+        # beyond-reference: all_links concatenates every FLAC link
+        pcm_all, _si, _blocks = decode_ogg_flac(chained, all_links=True)
+        np.testing.assert_array_equal(pcm_all, np.concatenate([sig1, sig2]))
+
+    def test_chained_same_serial_stops_at_eos(self):
+        """A second link REUSING the serial must not leak frames into the
+        first link's stream (extract_packets stops at EOS)."""
+        from flac_tpu.ogg import decode_ogg_flac
+
+        sig1 = make_signal(4096 + 100, 2, 16, kind="quiet", seed=3)
+        sig2 = make_signal(4096 + 33, 2, 16, kind="quiet", seed=4)
+        chained = self._one_oga(sig1, 0x77) + self._one_oga(sig2, 0x77)
+        pcm, _si, _blocks = decode_ogg_flac(chained)
+        np.testing.assert_array_equal(pcm, sig1)
+
+    def test_flac_stream_found_behind_foreign_bos(self):
+        """Grouped/multiplexed file whose FIRST BOS is another codec: the
+        FLAC-mapped bitstream is still found by the BOS scan."""
+        from flac_tpu.ogg import _raw_page, decode_ogg_flac
+
+        sig = make_signal(4096 + 10, 2, 16, kind="quiet", seed=5)
+        oga = self._one_oga(sig, 0x99)
+        fake_body = b"\x01vorbis" + b"\x00" * 20
+        fake_bos = _raw_page(0x42, 0, 0, bytes([len(fake_body)]), fake_body,
+                             bos=True, eos=False, continued=False)
+        pcm, _si, _blocks = decode_ogg_flac(fake_bos + oga)
+        np.testing.assert_array_equal(pcm, sig)

@@ -63,6 +63,24 @@ from flac_tpu.jaxcache import enable as _enable_jax_cache  # noqa: E402
 
 _enable_jax_cache(min_compile_secs=30.0)
 
+# The XLA:CPU compile crash (docs/flaky.md mode 3) is PINNED to
+# vm.max_map_count exhaustion: a compile-heavy worker accumulates ~13 mmap
+# regions per retained executable plus LLVM's transient compile-peak maps,
+# trips the default 65530 ceiling, and XLA segfaults (or raises
+# MemoryError) instead of erroring on the ENOMEM
+# (tools/repro_xla_maps.py --pin reproduces it deterministically). The box
+# has >100 GB free RAM; raising the sysctl is the actual fix. Root-only
+# and best-effort — the crash-rerun rescheduler below stays as a belt for
+# unprivileged environments.
+try:  # pragma: no cover - environment setup
+    with open("/proc/sys/vm/max_map_count") as _f:
+        _mmc = int(_f.read())
+    if _mmc < 1048576:
+        with open("/proc/sys/vm/max_map_count", "w") as _f:
+            _f.write("1048576")
+except (OSError, ValueError):
+    pass
+
 
 def cpu_devices():
     return jax.devices("cpu")

@@ -84,6 +84,15 @@ def compile_loop(n: int, report_every: int = 25) -> None:
           f"({open(SYSCTL).read().strip()} on this box)", flush=True)
 
 
+def _clean_env() -> dict:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and ".axon_site" not in p)
+    return env
+
+
 def pin() -> int:
     if os.geteuid() != 0:
         sys.exit("--pin needs root (writes vm.max_map_count)")
@@ -92,16 +101,12 @@ def pin() -> int:
     # headroom so ONLY a map-hungry process (the child mid-compile) can trip
     probe = subprocess.run(
         [sys.executable, "-c",
-         "import os\n"
-         "os.environ['JAX_PLATFORMS']='cpu'\n"
-         "try:\n"
-         " from jax._src import xla_bridge as xb\n"
-         " xb._backend_factories.pop('axon', None)\n"
-         "except Exception: pass\n"
          "import jax, jax.numpy as jnp\n"
          "jax.jit(lambda v: v + 1)(jnp.zeros(8)).block_until_ready()\n"
          "print(sum(1 for _ in open('/proc/self/maps')))"],
-        capture_output=True, text=True, timeout=300)
+        capture_output=True, text=True, timeout=300, env=_clean_env())
+    if not probe.stdout.strip():
+        sys.exit(f"probe failed: {probe.stderr[-500:]}")
     base = int(probe.stdout.strip().splitlines()[-1])
     limit = base + 400
     print(f"child baseline {base} maps; lowering {SYSCTL} "
@@ -111,7 +116,7 @@ def pin() -> int:
             f.write(str(limit))
         r = subprocess.run(
             [sys.executable, __file__, "--loop", "400"],
-            capture_output=True, text=True, timeout=900)
+            capture_output=True, text=True, timeout=900, env=_clean_env())
     finally:
         with open(SYSCTL, "w") as f:
             f.write(orig)

@@ -50,10 +50,18 @@ class Decoder:
         self._chunked = None
         if callable(source) or (hasattr(source, "read")
                                 and not self._is_seekable(source)):
-            from flac_tpu.decode.streaming import ChunkedStreamDecoder
-            self._chunked = ChunkedStreamDecoder(source, check_md5=False)
+            from flac_tpu.decode.streaming import ByteFeed, ChunkedStreamDecoder
+            feed = ByteFeed(source)
+            feed.ensure(4)
+            src = feed
+            if bytes(feed.view()[:4]) == b"OggS":
+                # Ogg pipe: incremental page demux, still bounded
+                from flac_tpu.ogg import OggToNativeReader
+                src = OggToNativeReader(feed.read)
+            self._chunked = ChunkedStreamDecoder(src, check_md5=False)
             self._init_common(write_callback, metadata_callback,
                               error_callback, md5_checking)
+            self.is_ogg = src is not feed
             return
         if isinstance(source, (bytes, bytearray)):
             data = bytes(source)

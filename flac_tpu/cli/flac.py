@@ -1159,14 +1159,24 @@ def _stdin_chunked(o: Options):
             dec = ChunkedStreamDecoder(feed)
         except Exception:
             dec = None  # malformed header: assembled path owns the error
+    elif magic == b"OggS":
+        # incremental page demux -> native bytes, still O(window)
+        from flac_tpu.ogg import OggToNativeReader
+        try:
+            dec = ChunkedStreamDecoder(OggToNativeReader(feed.read))
+        except Exception:
+            dec = None
     if dec is not None and dec.streaminfo.total_samples:
         rc = _decode_streaming("-", b"", o, dec=dec)
         if rc is not None:
             return rc, None
-    # drain the pipe for the assembled path (metadata prefix re-attached)
-    while not feed.eof:
-        feed.ensure(len(feed) + (1 << 20))
-    data = (dec.meta_prefix if dec is not None else b"") + bytes(feed.view())
+    # drain the pipe for the assembled path (metadata prefix re-attached;
+    # an Ogg pipe drains as the DEMUXED native stream, which the assembled
+    # path decodes identically)
+    drain = dec.feed if dec is not None else feed
+    while not drain.eof:
+        drain.ensure(len(drain) + (1 << 20))
+    data = (dec.meta_prefix if dec is not None else b"") + bytes(drain.view())
     return None, data
 
 
@@ -1283,13 +1293,12 @@ def test_one(path: str, o: Options) -> int:
         feed.ensure(4)
         try:
             if bytes(feed.view()[:4]) == b"OggS":
-                while not feed.eof:
-                    feed.ensure(len(feed) + (1 << 20))
-                from flac_tpu.ogg import decode_ogg_flac
-                decode_ogg_flac(bytes(feed.view()))
+                from flac_tpu.ogg import OggToNativeReader
+                src = OggToNativeReader(feed.read)
             else:
-                for _ in ChunkedStreamDecoder(feed).iter_blocks():
-                    pass
+                src = feed
+            for _ in ChunkedStreamDecoder(src).iter_blocks():
+                pass
         except Exception as e:
             o.say(1, f"-: FAILED ({e})")
             return 1

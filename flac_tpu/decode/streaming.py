@@ -79,6 +79,15 @@ class ByteFeed:
         del self._buf[:k]
         self.base += k
 
+    def read(self, n: int) -> bytes:
+        """Pull-and-consume, so a ByteFeed is itself a read(n) source —
+        used to chain adapters (e.g. ogg.OggToNativeReader over a peeked
+        feed)."""
+        self.ensure(n)
+        out = bytes(self.view()[:n])
+        self.consume(len(out))
+        return out
+
     def __len__(self) -> int:
         return len(self._buf)
 

@@ -366,6 +366,146 @@ def flac_stream_from_ogg(data: bytes) -> bytes:
     return bytes(out)
 
 
+class OggToNativeReader:
+    """Incremental Ogg FLAC -> native FLAC byte adapter for pipe decoding.
+
+    Wraps a `read(n)` callable / file-like carrying an Ogg FLAC stream and
+    exposes the demuxed NATIVE stream through the same read(n) contract,
+    holding only whole-page granules of compressed bytes — so
+    `decode.streaming.ChunkedStreamDecoder(OggToNativeReader(pipe))`
+    decodes an unbounded Ogg pipe in O(window) memory on both sides (the
+    reference's FLAC__stream_decoder_init_ogg_stream read path,
+    ogg_decoder_aspect.c:105-253).
+
+    The metadata packets are buffered until the first audio packet so the
+    is_last flags can be normalized exactly like flac_stream_from_ogg
+    (bounded: metadata precedes audio). Latches the first FLAC-mapped
+    bitstream's serial; stops at its EOS page.
+    """
+
+    def __init__(self, source) -> None:
+        self._read = source if callable(source) else source.read
+        self._buf = bytearray()      # raw ogg bytes not yet paged
+        self._out = bytearray()      # demuxed native bytes not yet consumed
+        self._packet = bytearray()   # packet under assembly
+        self._serial = None
+        self._header_pkts: list[bytes] | None = []  # None once flushed
+        self._nheaders = None
+        self._eos = False
+        self._raw_eof = False
+
+    # -- page pump -----------------------------------------------------------
+
+    def _fill_raw(self, n: int) -> None:
+        while len(self._buf) < n and not self._raw_eof:
+            chunk = self._read(max(n - len(self._buf), 1 << 16))
+            if not chunk:
+                self._raw_eof = True
+                break
+            self._buf += chunk
+
+    def _next_page(self):
+        """Parse one page off the raw buffer; None when exhausted."""
+        self._fill_raw(27)
+        if len(self._buf) < 27:
+            return None
+        if bytes(self._buf[:4]) != b"OggS":
+            raise OggError("lost Ogg page sync in stream")
+        nsegs = self._buf[26]
+        self._fill_raw(27 + nsegs)
+        lacing = bytes(self._buf[27:27 + nsegs])
+        body_len = sum(lacing)
+        total = 27 + nsegs + body_len
+        self._fill_raw(total)
+        if len(self._buf) < total:
+            raise OggError("truncated Ogg page")
+        page = bytes(self._buf[:total])
+        del self._buf[:total]
+        crc_stored = int.from_bytes(page[22:26], "little")
+        if ogg_crc(page[:22] + b"\x00\x00\x00\x00" + page[26:]) != crc_stored:
+            raise OggError("Ogg page CRC mismatch in stream")
+        htype = page[5]
+        serial = int.from_bytes(page[14:18], "little")
+        body = page[27 + nsegs:]
+        return htype, serial, lacing, body
+
+    def _emit_packet(self, pkt: bytes) -> None:
+        if self._header_pkts is None:       # audio phase: pass through
+            self._out += pkt
+            return
+        if self._nheaders is None:          # first packet: mapping header
+            if (len(pkt) < 9 + 4 + 38 or pkt[0] != 0x7F
+                    or pkt[1:5] != b"FLAC"):
+                raise OggError("first packet is not a FLAC mapping header")
+            if pkt[5] != MAPPING_MAJOR:
+                raise OggError(f"unsupported Ogg FLAC mapping version {pkt[5]}")
+            if pkt[9:13] != b"fLaC":
+                raise OggError("missing fLaC magic in first packet")
+            self._nheaders = int.from_bytes(pkt[7:9], "big")
+            self._header_pkts.append(pkt[13:])  # STREAMINFO block
+            if self._nheaders == 1:
+                self._flush_headers()
+            return
+        # subsequent header packet, or first audio packet when count unknown
+        if self._nheaders == 0 and len(pkt) >= 2 and pkt[0] == 0xFF \
+                and (pkt[1] & 0xFE) == 0xF8:
+            self._flush_headers()
+            self._out += pkt
+            return
+        self._header_pkts.append(pkt)
+        if self._nheaders > 0 and len(self._header_pkts) == self._nheaders:
+            self._flush_headers()
+
+    def _flush_headers(self) -> None:
+        blob = bytearray(b"fLaC") + b"".join(self._header_pkts)
+        q = 4
+        offsets = []
+        while q < len(blob):
+            offsets.append(q)
+            q += 4 + int.from_bytes(blob[q + 1:q + 4], "big")
+        for b in offsets[:-1]:
+            blob[b] &= 0x7F
+        blob[offsets[-1]] |= 0x80
+        self._out += blob
+        self._header_pkts = None
+
+    def _pump(self) -> bool:
+        """Demux one more page into _out; False at end of stream."""
+        if self._eos:
+            return False
+        page = self._next_page()
+        if page is None:
+            return False
+        htype, serial, lacing, body = page
+        if self._serial is None:
+            # latch the first FLAC-mapped BOS (skip foreign BOS packets)
+            if (htype & 2) and body[:5] != b"\x7fFLAC":
+                return True
+            self._serial = serial
+        if serial != self._serial:
+            return True
+        if not (htype & 1):
+            self._packet = bytearray()
+        off = 0
+        for lace in lacing:
+            self._packet += body[off:off + lace]
+            off += lace
+            if lace < 255:
+                self._emit_packet(bytes(self._packet))
+                self._packet = bytearray()
+        if htype & 4:
+            self._eos = True
+        return True
+
+    def read(self, n: int) -> bytes:
+        while len(self._out) < n:
+            if not self._pump():
+                break
+        out = bytes(self._out[:n])
+        del self._out[:n]
+        return out
+
+
 # -- page-level random access ------------------------------------------------
 
 class _PageHeader:

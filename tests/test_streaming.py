@@ -182,3 +182,50 @@ class TestCLIPipe:
         bad[len(bad) // 2] ^= 0x40
         self._pipe_stdin(monkeypatch, bytes(bad))
         assert flac_cli.main(["--totally-silent", "-t", "-"]) != 0
+
+
+class TestOggPipe:
+    """Ogg FLAC pipes stream through OggToNativeReader + the chunked
+    decoder — bounded on both sides (the reference's
+    FLAC__stream_decoder_init_ogg_stream read path)."""
+
+    def test_ogg_adapter_chunked_decode(self, flac_stream):
+        from flac_tpu.ogg import OggToNativeReader, ogg_from_flac_stream
+
+        data, sig = flac_stream
+        oga = ogg_from_flac_stream(data, serial=0xBEEF)
+        reader = ChunkReader(oga, chunk=50000)
+        dec = ChunkedStreamDecoder(OggToNativeReader(reader.read),
+                                   window_bytes=1 << 18, batch_frames=8)
+        pcm = np.concatenate(list(dec.iter_blocks()), axis=0)
+        np.testing.assert_array_equal(pcm, sig)
+        assert dec.decode_info["path"] == "chunked-device"
+
+    def test_cli_test_mode_ogg_stdin(self, monkeypatch, flac_stream):
+        from flac_tpu.cli import flac as flac_cli
+        from flac_tpu.ogg import ogg_from_flac_stream
+
+        data, _sig = flac_stream
+        oga = ogg_from_flac_stream(data, serial=7)
+        reader = ChunkReader(oga, chunk=65536)
+
+        class FakeStdin:
+            buffer = reader
+
+        monkeypatch.setattr(sys, "stdin", FakeStdin)
+        assert flac_cli.main(["--totally-silent", "-t", "-"]) == 0
+
+    def test_api_decoder_ogg_pipe(self, flac_stream):
+        from flac_tpu.api import Decoder
+        from flac_tpu.ogg import ogg_from_flac_stream
+
+        data, sig = flac_stream
+        oga = ogg_from_flac_stream(data, serial=9)
+        got = []
+        dec = Decoder(ChunkReader(oga).read,
+                      write_callback=lambda pcm, fr: got.append(pcm))
+        assert dec.is_ogg and dec._chunked is not None
+        assert dec.process_until_end_of_stream()
+        np.testing.assert_array_equal(
+            np.concatenate(got, axis=0)[: len(sig)], sig)
+        assert dec.md5_ok is True

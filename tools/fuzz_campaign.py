@@ -86,6 +86,8 @@ def draw_config(rng: np.random.Generator) -> dict:
         kw["do_exhaustive_model_search"] = True
     if rng.random() < 0.2:
         kw["do_qlp_coeff_prec_search"] = True
+    if rng.random() < 0.15:
+        kw["do_escape_coding"] = True
     if rng.random() < 0.25:
         from flac_tpu.dsp.windows import parse_apodization_spec
 

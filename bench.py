@@ -62,22 +62,26 @@ def _bucketed_slice(stream_words, total_bytes):
 
 
 def bench_encode(level: int, batch: int, nbatches: int, reps: int,
-                 fetch: bool = True):
+                 fetch: bool = True, bps: int = 16, rate: int = 44100):
     """Timed: device encode of every batch + D2H of the compressed bytes.
     With fetch=False the compressed stream stays device-resident (the chip
     kernel number, mirroring the decode rows); frame_bytes is then None.
+    bps=24 exercises the wide datapath (int32 two-limb MAC, docs/perf.md).
     Returns (msamples_per_s, frame_bytes_for_decode)."""
     import jax
 
     from flac_tpu.encode.frame_encoder import EncoderConfig, build_frame_encoder_dense
 
     dev = jax.config.jax_default_device or jax.devices()[0]
-    cfg = EncoderConfig.from_level(level, channels=2, bits_per_sample=16,
-                                   sample_rate=44100, blocksize=T)
+    cfg = EncoderConfig.from_level(level, channels=2, bits_per_sample=bps,
+                                   sample_rate=rate, blocksize=T)
     encode = build_frame_encoder_dense(cfg)
 
+    shift = bps - 16
     pcm_batches = [
-        make_corpus(batch * T, seed=7 + i).reshape(batch, T, 2).astype(np.int16)
+        (make_corpus(batch * T, seed=7 + i).reshape(batch, T, 2) << shift
+         ).astype(np.int32) if shift
+        else make_corpus(batch * T, seed=7 + i).reshape(batch, T, 2).astype(np.int16)
         for i in range(nbatches)
     ]
     fnos = [np.arange(i * batch, (i + 1) * batch, dtype=np.int64)
@@ -332,6 +336,15 @@ def main() -> None:
     # environment's tunneled D2H link, not the chip
     enc5_kernel, _ = bench_encode(5, b5, n5, reps, fetch=False)
     enc8_kernel, _ = bench_encode(8, b8, n8, reps, fetch=False)
+    # wide-datapath (24-bit/96k) kernel row — TPU only (one extra compile,
+    # cached across runs); failure degrades to omitting the row
+    enc24_kernel = None
+    if on_tpu:
+        try:
+            enc24_kernel, _ = bench_encode(8, 256, 2, reps, fetch=False,
+                                           bps=24, rate=96000)
+        except Exception:
+            enc24_kernel = None
     # compressed-size ratio vs raw 16-bit PCM, comparable to the reference
     # benchmark page's "avg ratio" column (53.67% at -5, BASELINE.md)
     ratio5 = sum(len(b) for b in frames5) / (b5 * n5 * T * 2 * 2)
@@ -416,6 +429,14 @@ def main() -> None:
             "encode_-8_kernel": {
                 "value": round(enc8_kernel, 3),
                 "vs_baseline": round(enc8_kernel / BASELINE_ENC, 3)},
+            **({"encode_-8_24bit96k_kernel": {
+                "value": round(enc24_kernel, 3),
+                "vs_baseline": round(enc24_kernel / BASELINE_ENC, 3),
+                "note": "wide datapath: int32 two-limb LPC MAC + narrow "
+                        "fold/abs planes (dsp.lpc.lpc_residual_limbs), "
+                        "byte-identical to the emulated-int64 path "
+                        "(docs/perf.md round-5 A/B: 1.40x)"}}
+               if enc24_kernel else {}),
             "decode_-8": {"value": round(dec8, 3),
                           "vs_baseline": round(dec8 / BASELINE_DEC, 3)},
             "compression_ratio": {
